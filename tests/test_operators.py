@@ -1,0 +1,124 @@
+"""Unit tests: collision naming replay (W2), Bloom+anti-join seen set
+(J1), salted per-host top-k scheduling (politeness budget)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from web_archive_downloader_spark.operators.collisions import assign_collision_names
+from web_archive_downloader_spark.operators.schedule import per_host_topk
+from web_archive_downloader_spark.operators.seen import (
+    BloomSketch,
+    anti_join_unseen,
+    build_bloom_sketches,
+    unseen_with_bloom,
+)
+
+
+def _saves_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["dir", "base", "ext", "style", "save_seq"])
+    )
+
+
+def test_collision_page_style(spark):
+    rows = [
+        ("output/blog", "Post", ".md", "page", 1),
+        ("output/blog", "Post", ".md", "page", 2),
+        ("output/blog", "Post", ".md", "page", 3),
+        ("output/blog", "Post", ".html", "page", 4),  # other ext: no collision
+        ("output/other", "Post", ".md", "page", 5),  # other dir: no collision
+    ]
+    out = assign_collision_names(_saves_df(spark, rows))
+    got = {r.save_seq: r.filename for r in out.collect()}
+    assert got == {1: "Post.md", 2: "Post-1.md", 3: "Post-2.md", 4: "Post.html", 5: "Post.md"}
+
+
+def test_collision_asset_strip_interaction(spark):
+    # reference quirk: asset counter strips a previous -N
+    # (file_handler.py:253-263): logo.png, logo-1.png (literal), then
+    # another logo.png -> probes logo.png(taken) -> logo-1.png(taken)
+    # -> logo-2.png
+    rows = [
+        ("d", "logo", ".png", "asset", 1),
+        ("d", "logo-1", ".png", "asset", 2),
+        ("d", "logo", ".png", "asset", 3),
+    ]
+    out = assign_collision_names(_saves_df(spark, rows))
+    got = [r.filename for r in out.orderBy("save_seq").collect()]
+    assert got == ["logo.png", "logo-1.png", "logo-2.png"]
+
+
+def test_collision_page_literal_suffix_groups_together(spark):
+    # 'post' chain generates post-1; a literal base 'post-1' must share
+    # the namespace (full -N strip grouping)
+    rows = [
+        ("d", "post", ".md", "page", 1),
+        ("d", "post", ".md", "page", 2),  # -> post-1.md
+        ("d", "post-1", ".md", "page", 3),  # literal collides -> post-1-1.md
+    ]
+    out = assign_collision_names(_saves_df(spark, rows))
+    got = [r.filename for r in out.orderBy("save_seq").collect()]
+    assert got == ["post.md", "post-1.md", "post-1-1.md"]
+
+
+def test_collision_limit_aborts(spark):
+    rows = [("d", "x", ".md", "page", i) for i in range(103)]
+    out = assign_collision_names(_saves_df(spark, rows))
+    names = [r.filename for r in out.orderBy("save_seq").collect()]
+    assert names[0] == "x.md" and names[1] == "x-1.md"
+    assert names[99] == "x-99.md"
+    # reference aborts after generating x-100 WITHOUT an existence
+    # check (file_handler.py:131-137), so x-100 is never assigned
+    assert names[100] is None and names[101] is None and names[102] is None
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    seen = pd.Series([f"https://e.com/p{i}" for i in range(5000)])
+    sk = BloomSketch.sized_for(5000, 0.01)
+    sk.add_many(seen)
+    assert sk.might_contain(seen).all()
+    fresh = pd.Series([f"https://e.com/new{i}" for i in range(5000)])
+    fpr = sk.might_contain(fresh).mean()
+    assert fpr < 0.03
+
+
+def test_unseen_with_bloom_exact(spark):
+    frontier = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://e.com/{i}" for i in range(200)]})
+    )
+    url_seen = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://e.com/{i}" for i in range(0, 200, 2)]})
+    )
+    sketches = [
+        (r.partition_id, bytes(r.sketch))
+        for r in build_bloom_sketches(url_seen, 8, 64).collect()
+    ]
+    got = sorted(
+        r.url for r in unseen_with_bloom(frontier, url_seen, sketches, 8, spark).collect()
+    )
+    expected = sorted(f"https://e.com/{i}" for i in range(1, 200, 2))
+    assert got == expected
+    # and plain anti-join agrees
+    plain = sorted(r.url for r in anti_join_unseen(frontier, url_seen).collect())
+    assert plain == expected
+
+
+def test_per_host_topk_budget_and_order(spark):
+    rows = []
+    for h, n in [("hot.com", 500), ("cold.com", 5)]:
+        for i in range(n):
+            rows.append((f"https://{h}/{i}", h, 0, 0.0, len(rows)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "host", "depth", "priority", "seq"])
+    )
+    out = per_host_topk(df, k=10, salt_buckets=8)
+    got = out.groupBy("host").agg(F.count("*").alias("n"), F.min("seq"), F.max("seq")).collect()
+    by_host = {r.host: r for r in got}
+    assert by_host["hot.com"]["n"] == 10
+    assert by_host["cold.com"]["n"] == 5
+    # selected rows are exactly the lowest-seq ones per host
+    hot = sorted(r.seq for r in out.filter(F.col("host") == "hot.com").collect())
+    assert hot == list(range(10))
+    # salted two-phase == unsalted result
+    unsalted = per_host_topk(df, k=10, salt_buckets=1)
+    assert sorted(r.url for r in out.collect()) == sorted(r.url for r in unsalted.collect())

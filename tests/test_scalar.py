@@ -1,0 +1,104 @@
+"""X1-X11 Catalyst expression chains vs the pure-Python kernels,
+including the reference's own parametrized cases
+(/root/reference/tests/test_file_handler.py:18-30,
+tests/test_html_processor.py:18-27)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from web_archive_downloader_spark.content.paths import (
+    format_archived_ts,
+    markdown_base_filename,
+    page_dir,
+    sanitize_filename,
+)
+from web_archive_downloader_spark.content.extract import url_fallback_title
+from web_archive_downloader_spark.functions.scalar import (
+    format_archived_ts_col,
+    markdown_base_filename_col,
+    page_dir_col,
+    sanitize_filename_col,
+    url_fallback_title_col,
+    valid_ts_col,
+)
+
+# Ported from reference tests/test_file_handler.py:18-30 + extras
+SANITIZE_CASES = [
+    ("simple", "simple"),
+    ("with space", "with_space"),
+    ('inva/lid:chars?*"<>|', "invalidchars"),
+    ("  leading trailing  ", "leading_trailing"),
+    ("..dots..", "dots"),
+    (" . mixed . ", "mixed"),
+    ("", "untitled"),
+    ("???", "untitled"),
+    ("a" * 150, "a" * 100),
+    ("háček unicode ž", "háček_unicode_ž"),
+    ("it's quoted", "its_quoted"),
+    ("back\\slash", "backslash"),
+    ("trailing dot.", "trailing_dot"),
+]
+
+URL_TITLE_CASES = [
+    "https://ex.com/my-cool_page",
+    "https://ex.com/",
+    "https://ex.com",
+    "https://ex.com/a/b/c-d",
+    "https://ex.com/blog/",
+    "https://ex.com/UPPER-case",
+]
+
+DIR_CASES = [
+    "https://ex.com/",
+    "https://ex.com/blog/post-1",
+    "https://ex.com/blog/post-1/",
+    "https://ex.com/a/b/c",
+    "https://ex.com/sp%20ace/x",
+    "https://ex.com/we?q=1",
+]
+
+
+def test_sanitize_matches_kernel(spark):
+    df = spark.createDataFrame(pd.DataFrame({"name": [c[0] for c in SANITIZE_CASES]}))
+    got = [r.s for r in df.select(sanitize_filename_col(F.col("name")).alias("s")).collect()]
+    assert got == [c[1] for c in SANITIZE_CASES]
+    assert got == [sanitize_filename(c[0]) for c in SANITIZE_CASES]
+
+
+def test_url_fallback_title_matches_kernel(spark):
+    df = spark.createDataFrame(pd.DataFrame({"url": URL_TITLE_CASES}))
+    got = [r.t for r in df.select(url_fallback_title_col(F.col("url")).alias("t")).collect()]
+    assert got == [url_fallback_title(u) for u in URL_TITLE_CASES]
+    assert got[1] == "Homepage"
+    assert got[0] == "My cool page"
+    assert got[5] == "UPPER case"  # first char only (html_processor.py:94)
+
+
+def test_page_dir_matches_kernel(spark):
+    df = spark.createDataFrame(pd.DataFrame({"url": DIR_CASES}))
+    got = [r.d for r in df.select(page_dir_col(F.col("url")).alias("d")).collect()]
+    assert got == [page_dir(u) for u in DIR_CASES]
+
+
+def test_markdown_base_filename(spark):
+    cases = [("My Title", "https://ex.com/p/a"), ("T", "https://ex.com/")]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["title", "url"]))
+    got = [
+        r.b
+        for r in df.select(
+            markdown_base_filename_col(F.col("title"), F.col("url")).alias("b")
+        ).collect()
+    ]
+    assert got == [markdown_base_filename(t, u) for t, u in cases]
+    assert got[1] == "index"
+
+
+def test_ts_format_and_validity(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": ["20230405060708", "2023", "20ab0405060708"]})
+    )
+    rows = df.select(
+        format_archived_ts_col(F.col("ts")).alias("f"), valid_ts_col(F.col("ts")).alias("v")
+    ).collect()
+    assert rows[0].f == format_archived_ts("20230405060708") == "2023-04-05 06:07:08"
+    assert [r.v for r in rows] == [True, False, False]

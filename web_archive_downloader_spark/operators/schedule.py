@@ -1,0 +1,58 @@
+"""Politeness scheduling: per-host token-bucket budget as a top-k.
+
+The reference documents ``request_delay_seconds`` as the per-request
+politeness delay (README.md:66) but its loop has no per-request sleep
+(decorators.py uses it only as retry-backoff base) — the spec pins
+the documented semantics (SURVEY §2.10). In the engine an epoch of
+length ``epoch_seconds`` grants each host
+``floor(epoch_seconds / request_delay_seconds)`` fetch tokens; the
+frontier rows chosen are the per-host top-k by
+(priority, depth, seq) — i.e. reference crawl order within a host.
+
+Skew (BASELINE.json:6 "explicit salting of skewed hosts"): a hot host
+with 10^8 pending rows would funnel one window partition through one
+task. Two-phase top-k fixes this: rank within (host, salt) first —
+S-way parallel, each emitting at most k survivors — then rank the
+<= S*k survivors per host. Correct because the global per-host top-k
+is contained in the union of per-salt top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def per_host_topk(
+    frontier: DataFrame,
+    k: int,
+    salt_buckets: int = 8,
+    host_col: str = "host",
+    order_cols: tuple[str, ...] = ("priority", "depth", "seq"),
+) -> DataFrame:
+    """Select <= k rows per host, ordered by order_cols (ascending).
+    Returns the selected rows with their within-host rank as
+    ``host_rank`` (1-based). Deterministic: order_cols must be a total
+    order within a host (seq is unique)."""
+    order = [F.asc(c) for c in order_cols]
+    if salt_buckets > 1:
+        salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*order)
+        pre = (
+            frontier.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .drop("__r1")
+        )
+    else:
+        pre = frontier
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        pre.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= k)
+    )
+
+
+def eligible(frontier: DataFrame, epoch: int) -> DataFrame:
+    """Backoff gating (X11 analog): rows whose retry backoff has
+    elapsed by this epoch."""
+    return frontier.filter(F.col("eligible_epoch") <= epoch)

@@ -1,0 +1,434 @@
+"""The crawl "query": an epoch-driven BSP pipeline (SURVEY §3 E1).
+
+Per epoch (all DataFrame ops; one driver loop builds the DAGs):
+
+    frontier --eligible(E)--> anti-join(url_seen: Bloom prefilter +
+    exact left-anti) --> per-host token-bucket top-k (salted) -->
+    fetch (mapInPandas, 1 attempt/row) --> route (F12) -->
+      ok   --> extract (title + content area) ... docs_raw
+           --> find_assets -> asset fetch ........ assets_raw
+      retry--> attempt+1, eligible_epoch=E+2^(k-1) back to frontier
+      dead --> memento fallback (SRC4/5) -> ok -> docs_raw (no assets)
+                                         -> fail -> dead letter
+    commits: docs_raw/assets_raw/url_seen/processed/lineage appends +
+    frontier replacement, one atomic manifest commit per epoch.
+
+Crawl ORDER determinism under parallelism: nothing order-sensitive is
+derived from task/epoch completion order — every output keys off the
+first-appearance ``seq``. Filename collision suffixes (the one truly
+order-coupled output) are a deterministic function of the final
+successful set ordered by save_seq, so they are materialized by
+``finalize_outputs`` (idempotent, recomputable after resume) rather
+than during epochs; see operators/collisions.py.
+
+Politeness: scheduling grants <= floor(epoch_seconds/delay) fetches
+per host per epoch (budget enforced relationally by the top-k); the
+fetch stage additionally serializes same-host requests inside a
+partition in production. Lineage records per-epoch per-host grants so
+the budget invariant is auditable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import EngineConfig
+from ..content.extract import html_to_markdown
+from ..datagen import MEMENTO_NOW_TS
+from ..functions.scalar import (
+    markdown_base_filename_col,
+    markdown_header_col,
+    page_dir_col,
+    route_col,
+    url_host_col,
+)
+from ..operators.collisions import assign_collision_names
+from ..operators.latest import latest_snapshot_per_url, valid_cdx
+from ..operators.schedule import per_host_topk
+from ..operators.seen import build_bloom_sketches, unseen_with_bloom
+from ..sources.fetch_shim import (
+    asset_fetch_stage,
+    extract_stage,
+    fetch_stage,
+    find_assets_stage,
+    finalize_markdown_stage,
+    memento_stage,
+)
+from ..sources.state import StateStore
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("eligible_epoch", T.IntegerType()),
+    ]
+)
+
+URL_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("epoch", T.IntegerType()),
+    ]
+)
+
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("via", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("content_html", T.StringType()),
+        T.StructField("epoch", T.IntegerType()),
+    ]
+)
+
+ASSETS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("page_url", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("asset_url", T.StringType()),
+        T.StructField("asset_pos", T.IntegerType()),
+        T.StructField("nbytes", T.IntegerType()),
+        T.StructField("epoch", T.IntegerType()),
+    ]
+)
+
+PROCESSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("disposition", T.StringType()),
+        T.StructField("epoch", T.IntegerType()),
+    ]
+)
+
+# save_seq packs (page seq, within-page position): md/html saves sort
+# after the page's assets, mirroring the reference's per-iteration
+# order assets -> html -> md (main.py:109-161).
+_POS_BITS = 20
+_MD_POS = (1 << _POS_BITS) - 1
+
+
+def seed_frontier_from_cdx(cdx: DataFrame) -> DataFrame:
+    """CDX table -> initial frontier: F4/F5 validation, A1 latest-per-
+    URL with first-appearance seq, host extraction, depth 0."""
+    latest = latest_snapshot_per_url(valid_cdx(cdx))
+    return latest.select(
+        "url",
+        "ts",
+        url_host_col(F.col("url")).alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(0.0).alias("priority"),
+        "seq",
+        F.lit(1).alias("attempt"),
+        F.lit(0).alias("eligible_epoch"),
+    )
+
+
+@dataclass
+class CrawlRunStats:
+    epochs: int = 0
+    scheduled: int = 0
+    fetched_ok: int = 0
+    retries: int = 0
+    memento_ok: int = 0
+    dead: int = 0
+
+
+class CrawlPlan:
+    def __init__(self, spark: SparkSession, store: StateStore, config: EngineConfig):
+        self.spark = spark
+        self.store = store
+        self.config = config
+
+    # ---- one epoch ----
+    def run_epoch(self, epoch: int) -> int:
+        """Returns the number of rows scheduled this epoch."""
+        cfg = self.config
+        store = self.store
+        frontier = store.read_latest_only("frontier", FRONTIER_SCHEMA)
+        url_seen = store.read("url_seen", URL_SEEN_SCHEMA)
+
+        eligible = frontier.filter(F.col("eligible_epoch") <= epoch)
+        held = frontier.filter(F.col("eligible_epoch") > epoch)
+
+        sketches = [
+            (r["partition_id"], bytes(r["sketch"]))
+            for r in store.read("bloom", self._bloom_schema()).collect()
+        ]
+        unseen = unseen_with_bloom(
+            eligible, url_seen, sketches, cfg.seen_partitions, self.spark
+        )
+
+        sched = per_host_topk(
+            unseen, cfg.per_host_epoch_budget, cfg.host_salt_buckets
+        ).drop("host_rank")
+        n_sched = sched.count()
+        if n_sched == 0:
+            # nothing runnable now; advance epoch only if retries pending
+            staged = {
+                "frontier": store.stage("frontier", epoch, frontier),
+                "lineage": store.stage("lineage", epoch, self._lineage(epoch, sched)),
+            }
+            store.commit(epoch, staged)
+            return 0
+
+        sched = sched.cache()
+        leftover = unseen.join(sched.select("url"), "url", "left_anti")
+
+        # --- fetch + route ---
+        fetched = fetch_stage(sched).cache()
+        routed = fetched.withColumn(
+            "route", route_col(F.col("outcome"), F.col("attempt"), cfg.max_retries)
+        ).cache()
+        ok = routed.filter(F.col("route") == "ok")
+        retry = (
+            routed.filter(F.col("route") == "retry")
+            .select(
+                "url", "ts", "host", "depth", "priority", "seq",
+                (F.col("attempt") + 1).alias("attempt"),
+                (F.lit(epoch + 1) + F.pow(F.lit(2.0), F.col("attempt").cast("double") - 1).cast("int") - 1)
+                .cast("int").alias("eligible_epoch"),
+            )
+        )
+        dead_wayback = routed.filter(F.col("route") == "dead_wayback")
+
+        # --- wayback-ok: extract + assets ---
+        extracted = extract_stage(ok.select("url", "ts", "seq", "attempt", "html"), cfg).cache()
+        md_probe = self._md_nonempty(extracted)
+        ok_pages = md_probe.filter(F.col("title").isNotNull() & F.col("md_ok"))
+        extract_fail = md_probe.filter(F.col("title").isNull() | ~F.col("md_ok"))
+
+        assets = asset_fetch_stage(
+            find_assets_stage(ok.select("url", "ts", "seq", "html"), cfg)
+        ).filter(F.col("bytes").isNotNull())
+
+        # --- memento fallback ---
+        mem = memento_stage(dead_wayback.select("url", "ts", "seq", "attempt"), cfg).cache()
+        mem_ok_raw = mem.filter(F.col("memento_result") == "ok")
+        mem_extracted = extract_stage(
+            mem_ok_raw.select(
+                "url", F.lit(MEMENTO_NOW_TS).alias("ts"), "seq", "attempt",
+                F.col("memento_html").alias("html"),
+            ),
+            cfg,
+        )
+        mem_probe = self._md_nonempty(mem_extracted)
+        mem_success = mem_probe.filter(F.col("title").isNotNull() & F.col("md_ok"))
+        mem_fail = mem_probe.filter(F.col("title").isNull() | ~F.col("md_ok")).select(
+            "url", "seq", F.lit("memento_extract_or_save_fail").alias("disposition")
+        )
+        mem_dead = mem.filter(F.col("memento_result") != "ok").select(
+            "url", "seq", F.concat(F.lit("dead_"), F.col("memento_result")).alias("disposition")
+        )
+
+        # --- epoch outputs ---
+        docs_raw = (
+            ok_pages.select(
+                "url", "ts", "seq", F.lit("wayback").alias("via"), "title",
+                "content_html", F.lit(epoch).alias("epoch"),
+            )
+            .unionByName(
+                mem_success.select(
+                    "url", "ts", "seq", F.lit("memento").alias("via"), "title",
+                    "content_html", F.lit(epoch).alias("epoch"),
+                )
+            )
+        )
+        assets_raw = assets.select(
+            "page_url", "ts", "seq", "kind", "asset_url", "asset_pos",
+            "nbytes", F.lit(epoch).alias("epoch"),
+        )
+        seen_new = docs_raw.select("url", "seq", F.lit(epoch).alias("epoch"))
+        processed = (
+            docs_raw.select("url", "seq", F.concat(F.lit("success_"), F.col("via")).alias("disposition"))
+            .unionByName(extract_fail.select("url", "seq", F.lit("extract_fail").alias("disposition")))
+            .unionByName(mem_fail)
+            .unionByName(mem_dead)
+            .withColumn("epoch", F.lit(epoch))
+        )
+
+        new_frontier = held.unionByName(leftover).unionByName(retry)
+
+        bloom_new = build_bloom_sketches(
+            seen_new, cfg.seen_partitions,
+            expected_per_partition=4096, fpp=cfg.bloom_fpp,
+        ).withColumnRenamed("pid", "partition_id")
+
+        staged = {
+            "frontier": store.stage("frontier", epoch, new_frontier),
+            "docs_raw": store.stage("docs_raw", epoch, docs_raw),
+            "assets_raw": store.stage("assets_raw", epoch, assets_raw),
+            "url_seen": store.stage("url_seen", epoch, seen_new),
+            "processed": store.stage("processed", epoch, processed),
+            "bloom": store.stage("bloom", epoch, bloom_new),
+            "lineage": store.stage("lineage", epoch, self._lineage(epoch, sched)),
+        }
+        store.commit(epoch, staged)
+        for df in (sched, fetched, routed, extracted, mem):
+            df.unpersist()
+        return n_sched
+
+    def _bloom_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("partition_id", T.IntegerType()),
+                T.StructField("sketch", T.BinaryType()),
+            ]
+        )
+
+    def _md_nonempty(self, extracted: DataFrame) -> DataFrame:
+        """Provisional markdown probe: decides success at epoch time.
+        Link-rewrite cannot change markdown emptiness (it only alters
+        attribute values), so this is equivalent to the reference's
+        post-rewrite check (main.py:155)."""
+        from pyspark.sql import functions as F  # local alias
+        import pandas as pd
+
+        @F.pandas_udf(T.BooleanType())
+        def md_ok_udf(contents: pd.Series) -> pd.Series:
+            return pd.Series([bool(html_to_markdown(c)) if c else False for c in contents])
+
+        return extracted.withColumn("md_ok", md_ok_udf(F.col("content_html")))
+
+    def _lineage(self, epoch: int, sched: DataFrame) -> DataFrame:
+        """Per-epoch per-host grant counts (politeness audit) +
+        per-partition row counts (lineage, BASELINE.json:6)."""
+        return (
+            sched.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("host", "partition_id")
+            .agg(F.count("*").alias("granted"))
+            .withColumn("epoch", F.lit(epoch))
+        )
+
+    # ---- full run ----
+    def run(self, cdx: DataFrame, max_epochs: int = 200, resume: bool = False) -> CrawlRunStats:
+        stats = CrawlRunStats()
+        store = self.store
+        start_epoch = store.last_epoch + 1
+        if not resume and start_epoch == 0:
+            frontier0 = seed_frontier_from_cdx(cdx)
+            path = store.stage("frontier", -1, frontier0)
+            # seed commit occupies epoch -1 semantics: write manifest at epoch -1
+            manifest = store.read_manifest()
+            manifest["tables"].setdefault("frontier", []).append(path)
+            store._write_manifest(manifest)
+        for epoch in range(start_epoch, max_epochs):
+            pending = store.read_latest_only("frontier", FRONTIER_SCHEMA).count()
+            if pending == 0:
+                break
+            n = self.run_epoch(epoch)
+            stats.epochs += 1
+            stats.scheduled += n
+        return stats
+
+    # ---- finalize: names + markdown + final docs table ----
+    def finalize_outputs(self) -> tuple[DataFrame, DataFrame]:
+        """Deterministic post-crawl materialization: assign collision
+        names, build per-page saved-asset maps, rewrite + convert to
+        markdown. Returns (docs, assets) DataFrames. Idempotent —
+        resumable jobs recompute identical outputs (tested)."""
+        cfg = self.config
+        store = self.store
+        docs_raw = store.read("docs_raw", DOCS_RAW_SCHEMA)
+        assets_raw = store.read("assets_raw", ASSETS_RAW_SCHEMA)
+
+        from ..content.paths import asset_base_and_ext, asset_type_dir
+
+        # asset name inputs: dir/base/ext via pandas udf (urlparse logic)
+        import pandas as pd
+
+        @F.pandas_udf(
+            T.StructType(
+                [T.StructField("base", T.StringType()), T.StructField("ext", T.StringType())]
+            )
+        )
+        def base_ext_udf(urls: pd.Series) -> pd.DataFrame:
+            pairs = [asset_base_and_ext(u) for u in urls]
+            return pd.DataFrame({"base": [p[0] for p in pairs], "ext": [p[1] for p in pairs]})
+
+        kind_dir = F.when(F.col("kind") == "js", "js").when(F.col("kind") == "css", "css").when(F.col("kind") == "img", "img").otherwise("_unknown")
+        asset_saves = (
+            assets_raw.withColumn("be", base_ext_udf(F.col("asset_url")))
+            .select(
+                F.concat(
+                    page_dir_col(F.col("page_url"), cfg.output_dir),
+                    F.lit("/_assets/"), kind_dir,
+                ).alias("dir"),
+                F.col("be.base").alias("base"),
+                F.col("be.ext").alias("ext"),
+                F.lit("asset").alias("style"),
+                (F.col("seq") * (1 << _POS_BITS) + F.col("asset_pos")).alias("save_seq"),
+                F.col("page_url").alias("url"),
+                "asset_url", "kind", "nbytes", "seq",
+            )
+        )
+        doc_saves = docs_raw.select(
+            page_dir_col(F.col("url"), cfg.output_dir).alias("dir"),
+            markdown_base_filename_col(F.col("title"), F.col("url")).alias("base"),
+            F.lit(".md").alias("ext"),
+            F.lit("page").alias("style"),
+            (F.col("seq") * (1 << _POS_BITS) + F.lit(_MD_POS)).alias("save_seq"),
+            "url",
+            F.lit(None).cast("string").alias("asset_url"),
+            F.lit(None).cast("string").alias("kind"),
+            F.lit(None).cast("int").alias("nbytes"),
+            "seq",
+        )
+        named = assign_collision_names(asset_saves.unionByName(doc_saves)).cache()
+
+        assets_named = named.filter(F.col("style") == "asset").select(
+            F.col("url").alias("page_url"), "asset_url", "kind", "dir",
+            "filename", "nbytes", "seq",
+        )
+        # J2: per-page saved-assets map (asset_url -> local path)
+        saved_maps = (
+            assets_named.filter(F.col("filename").isNotNull())
+            .groupBy("page_url")
+            .agg(
+                F.to_json(
+                    F.map_from_entries(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("asset_url"),
+                                    F.concat(F.col("dir"), F.lit("/"), F.col("filename")).alias("path"),
+                                )
+                            )
+                        )
+                    )
+                ).alias("saved_assets")
+            )
+        )
+        docs_named = named.filter(F.col("style") == "page").select(
+            "url", "dir", "filename", "base",
+        )
+        docs_joined = (
+            docs_raw.join(docs_named, "url")
+            .join(saved_maps, docs_raw.url == saved_maps.page_url, "left")
+            .drop("page_url")
+        )
+        finalized = finalize_markdown_stage(docs_joined, cfg)
+        docs = finalized.filter(
+            F.col("filename").isNotNull() & F.col("markdown").isNotNull()
+        ).select(
+            "url", "ts", "seq", "via", "title", "dir", "filename",
+            F.concat(
+                markdown_header_col(F.col("title"), F.col("url"), F.col("ts")),
+                F.col("markdown"),
+            ).alias("markdown"),
+        )
+        return docs, assets_named

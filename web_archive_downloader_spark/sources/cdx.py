@@ -1,0 +1,52 @@
+"""CDX index ingest (SRC1).
+
+The reference fetches JSON list-of-lists over HTTP with server-side
+projection/filters (cdx_client.py:11-77). The engine's scan source is
+a table (parquet/Iceberg at scale; an in-memory DataFrame for
+fixtures): columns (url, ts, mimetype, seq) where seq is 0-based file
+order — the key that defines first-appearance crawl order.
+
+Header-row stripping (cdx_client.py:41-45) happens at ingest: the
+header ['original','timestamp','mimetype'] parses as a row whose ts
+is 'timestamp' — removed by the same F5 validity filter, but we also
+drop it explicitly to keep seq numbering aligned with the reference's
+post-strip list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("mimetype", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def cdx_dataframe(spark: SparkSession, raw_records: list[list]) -> DataFrame:
+    """Fixture ingest: raw list-of-lists (possibly with header row and
+    malformed rows) -> typed CDX DataFrame with file-order seq.
+    Malformed short rows become null-padded (dropped by valid_cdx)."""
+    if raw_records and raw_records[0] == ["original", "timestamp", "mimetype"]:
+        raw_records = raw_records[1:]
+    rows = []
+    for i, rec in enumerate(raw_records):
+        if not isinstance(rec, list):
+            continue
+        url = rec[0] if len(rec) > 0 else None
+        ts = rec[1] if len(rec) > 1 else None
+        mt = rec[2] if len(rec) > 2 else None
+        rows.append((url or None, ts or None, mt, i))
+    return spark.createDataFrame(rows, CDX_SCHEMA)
+
+
+def read_cdx_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Scale path: CDX dump shards as parquet; seq must be present
+    (assigned at dump time) so ordering survives re-partitioning."""
+    return spark.read.schema(CDX_SCHEMA).parquet(path)

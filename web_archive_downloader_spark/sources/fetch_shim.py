@@ -1,0 +1,235 @@
+"""Vectorized fetch / extract stages (U1, U5, U7, SRC2-SRC5).
+
+Each stage is an Arrow-batched ``mapInPandas`` / ``pandas_udf`` — the
+only places Python runs, and always whole-batch (BASELINE.json:15 "no
+per-row Python" at the Spark level; inside a batch the per-document
+DOM work is inherently per-item, same as the reference's bs4 calls,
+but amortized over Arrow transfer and free of Spark-row overhead).
+
+In production these stages wrap a batched HTTP client with per-host
+pacing inside each partition (politeness tokens are granted by the
+scheduler; the partition serializes same-host requests). In this
+sandbox the "content server" is the deterministic shim in datagen.py
+— identical to what the sequential oracle consults, so byte-equality
+tests are meaningful.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import EngineConfig
+from ..content.extract import (
+    extract_title_from_soup,
+    find_assets,
+    find_main_content,
+    html_to_markdown,
+    rewrite_asset_links,
+    _parse,
+)
+from ..content.paths import page_dir
+from ..datagen import asset_bytes, memento_outcome, page_html, wayback_fetch_sim
+
+
+def fetch_stage(scheduled: DataFrame) -> DataFrame:
+    """SRC2/U7: one fetch attempt per scheduled frontier row.
+    Input needs (url, attempt); output adds (outcome, html)."""
+    out_schema = T.StructType(
+        scheduled.schema.fields
+        + [T.StructField("outcome", T.StringType()), T.StructField("html", T.StringType())]
+    )
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outcomes, htmls = [], []
+            for url, attempt in zip(pdf["url"], pdf["attempt"]):
+                o, h = wayback_fetch_sim(url, int(attempt))
+                outcomes.append(o)
+                htmls.append(h)
+            pdf = pdf.copy()
+            pdf["outcome"] = outcomes
+            pdf["html"] = htmls
+            yield pdf
+
+    return scheduled.mapInPandas(fetch_batches, out_schema)
+
+
+def memento_stage(dead: DataFrame, config: EngineConfig) -> DataFrame:
+    """SRC4/SRC5: memento fallback for wayback-dead rows. Lookup +
+    content fetch with inline retries (the reference performs the
+    whole fallback inside one loop iteration, main.py:71-93).
+    Output adds (memento_result, html)."""
+    out_schema = T.StructType(
+        dead.schema.fields
+        + [
+            T.StructField("memento_result", T.StringType()),
+            T.StructField("memento_html", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results, htmls = [], []
+            for url in pdf["url"]:
+                m = memento_outcome(url)
+                if m == "ok":
+                    results.append("ok")
+                    htmls.append(page_html(url))
+                else:
+                    results.append(m)
+                    htmls.append(None)
+            pdf = pdf.copy()
+            pdf["memento_result"] = results
+            pdf["memento_html"] = htmls
+            yield pdf
+
+    return dead.mapInPandas(run, out_schema)
+
+
+_ASSETS_TYPE = T.ArrayType(
+    T.StructType(
+        [T.StructField("kind", T.StringType()), T.StructField("asset_url", T.StringType())]
+    )
+)
+
+
+def find_assets_stage(pages: DataFrame, config: EngineConfig) -> DataFrame:
+    """U1 as a UDTF-shaped pandas UDF + explode: pages(url, html) ->
+    asset rows (url, kind, asset_url, kind_rank, url_rank). Only
+    enabled kinds (F10 plan-time pruning) and canonical sorted order
+    within a kind (SURVEY A2)."""
+    kinds = config.enabled_asset_kinds
+
+    @F.pandas_udf(_ASSETS_TYPE)
+    def assets_udf(urls: pd.Series, htmls: pd.Series) -> pd.Series:
+        out = []
+        for url, html in zip(urls, htmls):
+            found = find_assets(html, url, config)
+            row = []
+            for kind in kinds:  # js, css, img stage order (main.py:104-107)
+                for a in found.get(kind, []):
+                    row.append({"kind": kind, "asset_url": a})
+            out.append(row)
+        return pd.Series(out)
+
+    exploded = (
+        pages.withColumn("__assets", assets_udf(F.col("url"), F.col("html")))
+        .select("url", "ts", "seq", F.posexplode_outer("__assets").alias("pos", "a"))
+        .filter(F.col("a").isNotNull())
+        .select(
+            F.col("url").alias("page_url"),
+            "ts",
+            "seq",
+            F.col("a.kind").alias("kind"),
+            F.col("a.asset_url").alias("asset_url"),
+            F.col("pos").alias("asset_pos"),
+        )
+    )
+    return exploded
+
+
+def asset_fetch_stage(assets: DataFrame) -> DataFrame:
+    """SRC3: fetch asset bytes (binary column). Adds (bytes, nbytes);
+    failed fetches yield null bytes and are dropped by the sink filter
+    (reference skips them, main.py:135-137)."""
+    out_schema = T.StructType(
+        assets.schema.fields
+        + [T.StructField("bytes", T.BinaryType()), T.StructField("nbytes", T.IntegerType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, sizes = [], []
+            for a in pdf["asset_url"]:
+                b = asset_bytes(a)
+                blobs.append(b)
+                sizes.append(len(b) if b else None)
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            pdf["nbytes"] = pd.array(sizes, dtype="Int32")
+            yield pdf
+
+    return assets.mapInPandas(run, out_schema)
+
+
+def extract_stage(pages: DataFrame, config: EngineConfig) -> DataFrame:
+    """U5 phase 1 (epoch-time): title + selected content area HTML.
+
+    Link-rewrite + markdown conversion are deferred to the finalize
+    pass (finalize_markdown_stage) because asset-relative paths depend
+    on globally-assigned collision names (see operators/collisions.py
+    docstring). Output adds (title, content_html)."""
+    out_schema = T.StructType(
+        pages.schema.fields
+        + [
+            T.StructField("title", T.StringType()),
+            T.StructField("content_html", T.StringType()),
+        ]
+    )
+    selectors = tuple(config.content_selectors)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            titles, contents = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if not html:
+                    titles.append(None)
+                    contents.append(None)
+                    continue
+                try:
+                    soup = _parse(html)
+                    title = extract_title_from_soup(soup, url)
+                    content = find_main_content(soup, selectors)
+                    titles.append(title)
+                    contents.append(str(content) if content is not None else None)
+                except Exception:
+                    titles.append(None)
+                    contents.append(None)
+            pdf = pdf.copy()
+            pdf["title"] = titles
+            pdf["content_html"] = contents
+            yield pdf
+
+    return pages.mapInPandas(run, out_schema)
+
+
+def finalize_markdown_stage(docs_with_assets: DataFrame, config: EngineConfig) -> DataFrame:
+    """U5 phase 2 (finalize): rewrite asset links to the assigned
+    local names (J2 join result passed as ``saved_assets`` json) and
+    convert to markdown. Input: (url, content_html, saved_assets);
+    output adds ``markdown`` (null => extract_fail)."""
+    out_schema = T.StructType(
+        docs_with_assets.schema.fields + [T.StructField("markdown", T.StringType())]
+    )
+    rewrite = config.rewrite_asset_links
+    output_dir = config.output_dir
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mds = []
+            for url, content_html, saved_json in zip(
+                pdf["url"], pdf["content_html"], pdf["saved_assets"]
+            ):
+                if not content_html:
+                    mds.append(None)
+                    continue
+                try:
+                    soup = _parse(content_html)
+                    saved = json.loads(saved_json) if saved_json else {}
+                    if rewrite and saved:
+                        save_dir = page_dir(url, output_dir)
+                        soup = rewrite_asset_links(soup, url, save_dir, saved)
+                    mds.append(html_to_markdown(str(soup)))
+                except Exception:
+                    mds.append(None)
+            pdf = pdf.copy()
+            pdf["markdown"] = mds
+            yield pdf
+
+    return docs_with_assets.mapInPandas(run, out_schema)

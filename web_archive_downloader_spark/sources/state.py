@@ -1,0 +1,108 @@
+"""Snapshot-committed state tables (the crawl's durable state).
+
+Production target is Iceberg: every table is an Iceberg table,
+``url_seen`` bucketed by xxhash64(url), one atomic multi-table commit
+per epoch, resume = read the last committed snapshot (SURVEY §2.10).
+This container has no Iceberg runtime jars, so the same contract is
+implemented as a parquet + manifest layout:
+
+    root/<table>/epoch=<k>/part-*.parquet     (data, written first)
+    root/_manifest.json                       (single commit pointer)
+
+A commit writes all tables' new epoch directories, then atomically
+replaces the manifest (os.replace on a temp file) recording, per
+table, the list of committed epoch dirs. Readers union only
+manifest-listed dirs — a job killed mid-epoch leaves orphan data
+dirs that are never read, and resume restarts from the previous
+manifest: exactly Iceberg's snapshot semantics, minus compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class StateStore:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # --- manifest ---
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"epoch": -1, "tables": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    @property
+    def last_epoch(self) -> int:
+        return self.read_manifest()["epoch"]
+
+    # --- staged writes + atomic multi-table commit ---
+    def stage(self, table: str, epoch: int, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        """Write one table's epoch directory (not yet visible)."""
+        path = os.path.join(self.root, table, f"epoch={epoch}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return path
+
+    def commit(self, epoch: int, staged: dict[str, str]) -> None:
+        """Atomically publish all staged epoch dirs as epoch's snapshot."""
+        manifest = self.read_manifest()
+        if epoch <= manifest["epoch"]:
+            raise ValueError(f"epoch {epoch} already committed (at {manifest['epoch']})")
+        for table, path in staged.items():
+            manifest["tables"].setdefault(table, []).append(path)
+        manifest["epoch"] = epoch
+        self._write_manifest(manifest)
+
+    # --- reads (committed snapshots only) ---
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        paths = self.read_manifest()["tables"].get(table, [])
+        if not paths:
+            if schema is None:
+                raise ValueError(f"table {table} empty and no schema given")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def read_latest_only(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        """For tables where each epoch REPLACES state (e.g. frontier)."""
+        paths = self.read_manifest()["tables"].get(table, [])
+        if not paths:
+            if schema is None:
+                raise ValueError(f"table {table} empty and no schema given")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(paths[-1])
+
+    def truncate_to_epoch(self, epoch: int) -> None:
+        """Test helper: roll the manifest back (kill-and-resume tests)."""
+        manifest = self.read_manifest()
+        manifest["tables"] = {
+            t: [p for p in ps if int(p.rsplit("epoch=", 1)[1]) <= epoch]
+            for t, ps in manifest["tables"].items()
+        }
+        manifest["tables"] = {t: ps for t, ps in manifest["tables"].items() if ps}
+        manifest["epoch"] = epoch
+        self._write_manifest(manifest)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

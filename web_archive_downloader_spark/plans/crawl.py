@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -295,9 +296,6 @@ class CrawlPlan:
         Link-rewrite cannot change markdown emptiness (it only alters
         attribute values), so this is equivalent to the reference's
         post-rewrite check (main.py:155)."""
-        from pyspark.sql import functions as F  # local alias
-        import pandas as pd
-
         @F.pandas_udf(T.BooleanType())
         def md_ok_udf(contents: pd.Series) -> pd.Series:
             return pd.Series([bool(html_to_markdown(c)) if c else False for c in contents])
@@ -346,11 +344,9 @@ class CrawlPlan:
         docs_raw = store.read("docs_raw", DOCS_RAW_SCHEMA)
         assets_raw = store.read("assets_raw", ASSETS_RAW_SCHEMA)
 
-        from ..content.paths import asset_base_and_ext, asset_type_dir
+        from ..content.paths import asset_base_and_ext
 
         # asset name inputs: dir/base/ext via pandas udf (urlparse logic)
-        import pandas as pd
-
         @F.pandas_udf(
             T.StructType(
                 [T.StructField("base", T.StringType()), T.StructField("ext", T.StringType())]

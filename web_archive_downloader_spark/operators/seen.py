@@ -173,7 +173,13 @@ def unseen_with_bloom(
     spark: SparkSession,
 ) -> DataFrame:
     """Bloom prefilter + exact anti-join of the residue. Returns the
-    exactly-unseen frontier rows (BASELINE.json:14 exactness)."""
+    exactly-unseen frontier rows (BASELINE.json:14 exactness).
+
+    A missing/empty sketch set means the Bloom gives NO exclusion
+    guarantee — everything must go through the exact anti-join (the
+    filter is an optimization, never the membership truth)."""
+    if not sketches:
+        return anti_join_unseen(frontier, url_seen)
     flagged = bloom_prefilter(frontier, sketches, n_partitions, spark)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     candidates = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")

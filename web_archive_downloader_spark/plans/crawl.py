@@ -312,6 +312,32 @@ class CrawlPlan:
             .withColumn("epoch", F.lit(epoch))
         )
 
+    def seed_checkpoint(self, urls: DataFrame) -> None:
+        """Pre-seed the URL-seen set (the reference's checkpoint file,
+        file_handler.py:13-29). INVARIANT: the Bloom side-table must
+        cover every url_seen row (it is an exclusion optimization; a
+        row in url_seen but in no sketch could be scheduled twice), so
+        seen rows and their sketches are committed together."""
+        cfg = self.config
+        seen = urls.select(
+            "url",
+            F.coalesce(F.col("seq"), F.lit(-1)).alias("seq"),
+            F.lit(-1).alias("epoch"),
+        ) if "seq" in urls.columns else urls.select(
+            "url", F.lit(-1).alias("seq"), F.lit(-1).alias("epoch")
+        )
+        sketches = build_bloom_sketches(
+            seen, cfg.seen_partitions, expected_per_partition=4096, fpp=cfg.bloom_fpp
+        )
+        m = self.store.read_manifest()
+        m["tables"].setdefault("url_seen", []).append(
+            self.store.stage("url_seen", -1, seen)
+        )
+        m["tables"].setdefault("bloom", []).append(
+            self.store.stage("bloom", -1, sketches)
+        )
+        self.store._write_manifest(m)
+
     # ---- full run ----
     def run(self, cdx: DataFrame, max_epochs: int = 200, resume: bool = False) -> CrawlRunStats:
         stats = CrawlRunStats()

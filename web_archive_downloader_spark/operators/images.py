@@ -1,0 +1,135 @@
+"""U6: the image payload pipeline over the ``images`` table
+(BASELINE.json:15 input_hint — image_id, bytes, w, h, fmt, caption,
+phash).
+
+All stages are Arrow-batched pandas UDFs over ``bytes:binary`` —
+the Spark-side plumbing (schema, batch shape, partitioning) is real;
+the lossy-decode kernel is the deterministic FJPG stub where PIL is
+absent (content/imagecodec.py docstring).
+
+Scale notes: decode is embarrassingly parallel — no shuffle; Arrow
+batch size bounds executor memory (bytes column dominates, so
+``spark.sql.execution.arrow.maxRecordsPerBatch`` is sized for payload
+MBs, not rows). Feature outputs (phash, dims) are tiny relative to
+payloads, so the validate stage projects bytes away immediately after
+decode — the scan prunes ``bytes`` entirely for metadata-only queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..content.imagecodec import decode_image, phash64, psnr
+from ..datagen import gen_images
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def images_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(gen_images(n, seed), IMAGES_SCHEMA)
+
+
+def decode_validate_stage(images: DataFrame) -> DataFrame:
+    """Decode + per-row fidelity features: recomputed (w, h, phash),
+    hamming distance to the stored phash, and PSNR of a lossy
+    re-encode roundtrip (inf -> null for lossless). Projects the
+    payload away after decode."""
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("dec_w", T.IntegerType()),
+            T.StructField("dec_h", T.IntegerType()),
+            T.StructField("dec_phash", T.LongType()),
+            T.StructField("phash_hamming", T.IntegerType()),
+            T.StructField("roundtrip_psnr", T.DoubleType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..content.imagecodec import decode_fake_jpeg, encode_fake_jpeg
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(bytes(r.bytes), r.fmt)
+                    ph = phash64(px)
+                    ham = bin((ph ^ r.phash) & ((1 << 64) - 1)).count("1")
+                    if r.fmt == "jpeg":
+                        rt = psnr(px, decode_fake_jpeg(encode_fake_jpeg(px)))
+                    else:
+                        rt = None
+                    rows.append(
+                        (r.image_id, r.fmt, px.shape[1], px.shape[0], ph, ham,
+                         None if rt is None or rt == float("inf") else float(rt), True)
+                    )
+                except Exception:
+                    rows.append((r.image_id, r.fmt, None, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return images.mapInPandas(run, out_schema)
+
+
+_CAPTION_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("asset_url", T.StringType()),
+            T.StructField("caption", T.StringType()),
+        ]
+    )
+)
+
+
+def extract_captions_stage(pages: DataFrame, target_domain: str) -> DataFrame:
+    """Caption extraction (the graft's analog of U5's alt/figcaption
+    output): per page, (img_url -> alt text) for same-domain images.
+    Byte-equality vs the reference extractor is tested on the fixture
+    lattice."""
+    from urllib.parse import urljoin, urlparse
+
+    from ..content.extract import _parse
+
+    @F.pandas_udf(_CAPTION_TYPE)
+    def captions_udf(urls: pd.Series, htmls: pd.Series) -> pd.Series:
+        out = []
+        for url, html in zip(urls, htmls):
+            caps = []
+            if html:
+                try:
+                    soup = _parse(html)
+                    for img in soup.find_all("img", src=True):
+                        src = img["src"]
+                        if not src or src.startswith("data:"):
+                            continue
+                        abs_url = urljoin(url, src)
+                        if urlparse(abs_url).netloc == target_domain:
+                            caps.append(
+                                {"asset_url": abs_url, "caption": img.get("alt", "")}
+                            )
+                except Exception:
+                    pass
+            out.append(caps)
+        return pd.Series(out)
+
+    return (
+        pages.withColumn("__caps", captions_udf(F.col("url"), F.col("html")))
+        .select(F.col("url").alias("page_url"), F.explode("__caps").alias("c"))
+        .select("page_url", F.col("c.asset_url"), F.col("c.caption"))
+    )

@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data operator suite, each mapped onto
+the driver-provided testdata tables; ``oracle_sql()`` gives the
+DuckDB-portable twin (identical hashing: md5-derived 56-bit ints,
+polynomial char folds — verified primitive-by-primitive).
+Non-SQL-expressible ops (the epoch crawl pipeline itself, image
+decode, LSH-ANN recall) are verified in tests/ against the sequential
+oracle instead.
 """
 
 from __future__ import annotations
@@ -12,27 +15,492 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+from web_archive_downloader_spark.functions.scalar import (
+    backoff_epochs_col,
+    format_archived_ts_col,
+    sanitize_filename_col,
+    url_fallback_title_col,
+)
+from web_archive_downloader_spark.functions.textstats import document_stats
+from web_archive_downloader_spark.operators.ann import brute_force_topk
+from web_archive_downloader_spark.operators.collisions import assign_collision_names
+from web_archive_downloader_spark.operators.dedup import (
+    _perm_params,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+MOD = (1 << 61) - 1
+ANN_QUERY_IDS = [3, 17, 42, 111, 256]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl-schedule shape (A1 latest-per-key ->
+    J1 anti-join -> per-host budget top-k) over sf0.001 events."""
+    sf = "/root/testdata/sf0.001"
+    events = _t(spark, sf, "events")
+    # latest event per user (A1), excluding users whose latest is an
+    # error (seen-set analog), then top-16 users by value (budget)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    latest = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    errors = latest.filter(F.col("event_type") == "error").select("user_id")
+    ok = latest.join(errors, "user_id", "left_anti")
+    w2 = Window.orderBy(F.desc("value"), F.asc("user_id"))
+    return (
+        ok.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 16)
+        .select("user_id", "event_id", "event_type", "value", "rank")
+    )
+
+
+# ------------------------------------------------------------- queries
+
+def _q_latest_event_per_user(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+def _q_customers_no_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o.select(F.col("o_custkey")), c.c_custkey == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_topk_events_per_user(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+    )
+
+
+def _q_route_counts(spark, sf):
+    ev = _t(spark, sf, "events")
+    outcome = (
+        F.when(F.col("event_type") == "error", F.lit("http_500"))
+        .when(F.col("event_type") == "purchase", F.lit("http_429"))
+        .otherwise(F.lit("ok"))
+    )
+    attempt = (F.col("event_id") % 5 + 1).cast("int")
+    from web_archive_downloader_spark.functions.scalar import route_col
+
+    return (
+        ev.select(route_col(outcome, attempt, 3).alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_backoff(spark, sf):
+    ev = _t(spark, sf, "events")
+    attempt = (F.col("event_id") % 4 + 1).cast("int")
+    return (
+        ev.select(attempt.alias("attempt"), backoff_epochs_col(attempt).alias("backoff_epochs"))
+        .groupBy("attempt", "backoff_epochs")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_sanitize_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    raw = F.concat(F.lit(" . "), F.substring("text", 1, 30), F.lit("? "))
+    return d.select("doc_id", sanitize_filename_col(raw).alias("fname"))
+
+
+def _q_title_fallback(spark, sf):
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://ex.com/"), F.col("source"), F.lit("/item-"),
+        F.col("doc_id").cast("string"), F.lit("_"), F.col("lang"),
+    )
+    return d.select("doc_id", url_fallback_title_col(url).alias("title"))
+
+
+def _q_ts_format(spark, sf):
+    ev = _t(spark, sf, "events")
+    ts14 = F.date_format("ts", "yyyyMMddHHmmss")
+    return ev.select("event_id", format_archived_ts_col(ts14).alias("archived_ts"))
+
+
+def _q_collision_names(spark, sf):
+    d = _t(spark, sf, "documents")
+    saves = d.select(
+        F.col("source").alias("dir"),
+        F.col("lang").alias("base"),
+        F.lit(".md").alias("ext"),
+        F.lit("page").alias("style"),
+        F.col("doc_id").alias("save_seq"),
+    )
+    return assign_collision_names(saves).select(
+        F.col("save_seq").alias("doc_id"), "dir", "filename"
+    )
+
+
+def _q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def _q_dedup_exact(spark, sf):
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _q_minhash_sig(spark, sf):
+    sig = minhash_signatures(_t(spark, sf, "documents"), k=16)
+    return sig.select("doc_id", F.posexplode("sig").alias("i", "minv"))
+
+
+def _q_lsh_candidates(spark, sf):
+    return minhash_lsh_candidates(_t(spark, sf, "documents"), k=16, bands=4)
+
+
+def _q_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return jaccard_pairs(d, minhash_lsh_candidates(d, k=16, bands=4))
+
+
+def _q_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, minhash_lsh_candidates(d, k=16, bands=4), n=2)
+
+
+def _q_simhash(spark, sf):
+    return simhash(_t(spark, sf, "documents"), bits=32)
+
+
+def _q_ann_bruteforce(spark, sf):
+    return brute_force_topk(_t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _q_text_stats(spark, sf):
+    return document_stats(_t(spark, sf, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "latest_event_per_user": _q_latest_event_per_user,
+        "customers_no_orders": _q_customers_no_orders,
+        "topk_events_per_user": _q_topk_events_per_user,
+        "route_counts": _q_route_counts,
+        "backoff": _q_backoff,
+        "sanitize_docs": _q_sanitize_docs,
+        "title_fallback": _q_title_fallback,
+        "ts_format": _q_ts_format,
+        "collision_names": _q_collision_names,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_sig": _q_minhash_sig,
+        "lsh_candidates": _q_lsh_candidates,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "text_stats": _q_text_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL
+
+_SANITIZE_SQL = """
+CASE WHEN length({x}) = 0 THEN 'untitled' ELSE {x} END
+""".strip()
+
+
+def _sanitize_expr(inner: str) -> str:
+    """DuckDB twin of sanitize_filename_col (step order preserved)."""
+    s = f"regexp_replace({inner}, '[\\\\/*?:''\"<>|]', '', 'g')"
+    s = f"regexp_replace({s}, '^[ .]+', '')"
+    s = f"regexp_replace({s}, '[ .]+$', '')"
+    s = f"replace({s}, ' ', '_')"
+    s = f"substr({s}, 1, 100)"
+    s = f"regexp_replace({s}, '^[ .]+', '')"
+    s = f"regexp_replace({s}, '[ .]+$', '')"
+    return f"CASE WHEN length({s}) = 0 THEN 'untitled' ELSE {s} END"
+
+
+_H56 = "(('0x' || substr(md5({x}), 1, 14))::BIGINT)"
+
+
+def _minhash_cte(k: int = 16) -> str:
+    params = _perm_params(k)
+    rows = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(params))
+    h = "(('0x' || substr(md5(tok), 1, 7))::BIGINT)"  # 28-bit, overflow-free
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+params(i, a, b) AS (VALUES {rows}),
+hashes AS (
+  SELECT doc_id, {h} AS h FROM toks WHERE length(tok) > 0
+),
+minh AS (
+  SELECT doc_id, i, min((a * h + b) % {MOD}) AS minv
+  FROM hashes CROSS JOIN params
+  GROUP BY doc_id, i
+)"""
+
+
+def _lsh_cte(k: int = 16, bands: int = 4) -> str:
+    rpb = k // bands
+    return f"""{_minhash_cte(k)},
+banded AS (
+  SELECT doc_id, i // {rpb} AS band,
+         string_agg(minv::VARCHAR, ',' ORDER BY i) AS key
+  FROM minh GROUP BY doc_id, i // {rpb}
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)"""
+
+
+_TOKSET = "list_distinct(list_filter(string_split_regex(trim({t}), '\\s+'), x -> length(x) > 0))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h56_tok = _H56.format(x="tok")
+    tokset_a = _TOKSET.format(t="a.text")
+    tokset_b = _TOKSET.format(t="b.text")
+    simhash_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(32)
+    )
+    lang_hits = {
+        lang: " + ".join(
+            f"CAST(floor((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2}) AS INT)"
+            for w in ws
+        )
+        for lang, ws in {
+            "en": ("the", "and", "of"),
+            "fr": ("le", "la", "les"),
+            "es": ("el", "los", "las"),
+            "de": ("der", "die", "und"),
+        }.items()
+    }
+    return {
+        "latest_event_per_user": """
+            SELECT user_id, event_id AS last_event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+                  FROM events) WHERE rn = 1
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "topk_events_per_user": """
+            SELECT user_id, rn AS rank, event_id, value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+                  FROM events) WHERE rn <= 3
+        """,
+        "route_counts": """
+            SELECT CASE
+                     WHEN outcome = 'ok' THEN 'ok'
+                     WHEN outcome IN ('http_404','non_html','empty') THEN 'dead_wayback'
+                     WHEN outcome IN ('http_429','http_500','timeout') AND attempt <= 3 THEN 'retry'
+                     ELSE 'dead_wayback'
+                   END AS route, count(*) AS n
+            FROM (SELECT CASE WHEN event_type='error' THEN 'http_500'
+                              WHEN event_type='purchase' THEN 'http_429'
+                              ELSE 'ok' END AS outcome,
+                         CAST(event_id % 5 + 1 AS INT) AS attempt
+                  FROM events)
+            GROUP BY 1
+        """,
+        "backoff": """
+            SELECT attempt, CAST(pow(2, attempt - 1) AS INT) AS backoff_epochs, count(*) AS n
+            FROM (SELECT CAST(event_id % 4 + 1 AS INT) AS attempt FROM events)
+            GROUP BY 1, 2
+        """,
+        "sanitize_docs": f"""
+            SELECT doc_id, {_sanitize_expr("(' . ' || substr(text, 1, 30) || '? ')")} AS fname
+            FROM documents
+        """,
+        "title_fallback": """
+            SELECT doc_id,
+                   upper(substr(seg2, 1, 1)) || substr(seg2, 2) AS title
+            FROM (SELECT doc_id,
+                         replace(replace('item-' || doc_id || '_' || lang, '-', ' '), '_', ' ') AS seg2
+                  FROM documents)
+        """,
+        "ts_format": """
+            SELECT event_id, strftime(strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S'),
+                   '%Y-%m-%d %H:%M:%S') AS archived_ts
+            FROM events
+        """,
+        "collision_names": """
+            SELECT doc_id, dir,
+                   CASE WHEN rn = 1 THEN base || '.md'
+                        ELSE base || '-' || (rn - 1) || '.md' END AS filename
+            FROM (SELECT doc_id, source AS dir, lang AS base,
+                         row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+                  FROM documents)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "minhash_sig": f"""
+            WITH {_minhash_cte(16)}
+            SELECT doc_id, i, minv FROM minh
+        """,
+        "lsh_candidates": f"""
+            WITH {_lsh_cte(16, 4)}
+            SELECT doc_a, doc_b FROM cands
+        """,
+        "jaccard_pairs": f"""
+            WITH {_lsh_cte(16, 4)}
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                         / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
+            FROM cands
+            JOIN (SELECT doc_id, {tokset_a} AS toks FROM documents a) ta ON ta.doc_id = doc_a
+            JOIN (SELECT doc_id, {tokset_b} AS toks FROM documents b) tb ON tb.doc_id = doc_b
+        """,
+        "ngram_jaccard": f"""
+            WITH {_lsh_cte(16, 4)},
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(t), 1)),
+                                                  i -> t[i] || ' ' || t[i+1])) AS sh
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS t
+                    FROM documents)
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(ga.sh, gb.sh))::DOUBLE
+                         / len(list_distinct(list_concat(ga.sh, gb.sh))), 6) AS jaccard
+            FROM cands
+            JOIN grams ga ON ga.doc_id = doc_a
+            JOIN grams gb ON gb.doc_id = doc_b
+        """,
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))) AS tok
+              FROM documents
+            ),
+            hashes AS (SELECT doc_id, {h56_tok} AS h FROM toks)
+            SELECT doc_id, ({simhash_terms}) AS simhash
+            FROM hashes GROUP BY doc_id
+        """,
+        "ann_bruteforce": f"""
+            SELECT query_id, rn AS rank, neighbor_id, cos
+            FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])), 4) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                             CAST(e.embedding AS DOUBLE[])), 4) DESC,
+                                e.vec_id) AS rn
+              FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+              WHERE q.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+            ) WHERE rn <= 10
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS n_tokens,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE / length(text)
+                         ELSE 0 END, 4) AS punct_ratio,
+                   round(CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)
+                         ELSE 0 END, 4) AS alpha_ratio,
+                   round(0.5 * least(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))::DOUBLE / 50.0, 1.0)
+                       + 0.3 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) ELSE 0 END)
+                       + 0.2 * (1.0 - least((CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE / length(text) ELSE 0 END) * 5.0, 1.0)), 4) AS quality,
+                   CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) * 2 > length(text) THEN 'zh'
+                        WHEN ({lang_hits['en']}) >= ({lang_hits['fr']}) AND ({lang_hits['en']}) >= ({lang_hits['es']}) AND ({lang_hits['en']}) >= ({lang_hits['de']}) THEN 'en'
+                        WHEN ({lang_hits['fr']}) >= ({lang_hits['es']}) AND ({lang_hits['fr']}) >= ({lang_hits['de']}) THEN 'fr'
+                        WHEN ({lang_hits['es']}) >= ({lang_hits['de']}) THEN 'es'
+                        ELSE 'de' END AS lang_pred,
+                   list_reduce(list_prepend(0::BIGINT,
+                               list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+                                              c -> unicode(c)::BIGINT)),
+                               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+            FROM documents
+        """,
+    }

@@ -1,0 +1,273 @@
+"""Deduplication suite for a training-data pipeline (task brief):
+exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. Spark-first designs with explicit shuffle
+accounting; each oracle-checkable variant has a DuckDB SQL twin in
+__spark_entry__ built from the same portable hash primitives
+(md5-derived 56-bit integers, polynomial folds).
+
+Scale notes per operator:
+- exact_dedup: one hash-partitioned shuffle on md5(text); partial agg
+  map-side. 100 TB -> works unchanged; hot duplicate clusters are
+  bounded by groupBy (count/min only, no row materialization).
+- minhash: explode(tokens) is the big intermediate — k permutations
+  are computed as k columns BEFORE the groupBy (map-side), so the
+  shuffle carries one row per (doc, token), aggregated partially.
+- LSH banding: signatures -> (band, band_key) exchange; candidate
+  pairs only within buckets => no quadratic blowup. Self-join uses
+  doc_id < doc_id to halve output.
+- simhash: explode + per-bit majority via sum of +/- weights; one
+  shuffle keyed by doc.
+- ngram_jaccard_pairs: candidate generation MUST be blocked (here:
+  shared minhash band) — never a full cross join at scale.
+- embedding_neardup: cosine over normalized vectors; blocked by LSH
+  sign-bucket (random hyperplanes) at scale; exact variant for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textstats import md5_hash28_col, md5_hash56_col, tokens_col
+
+MOD = (1 << 61) - 1  # Mersenne prime for permutation hashing
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash. Returns one row per
+    distinct content: (content_hash, keep_id, n_dups)."""
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _perm_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod M."""
+    params = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(k):
+        x = (a * x + b) % (1 << 31)
+        a_i = (2 * x + 1) % MOD  # odd
+        x = (a * x + b) % (1 << 31)
+        b_i = x % MOD
+        params.append((a_i, b_i))
+    return params
+
+
+def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
+    """MinHash signature per doc over whitespace-token shingles.
+
+    Plan shape: tokens exploded once; all k permutation mins computed
+    in ONE aggregation pass (k agg columns), so there is exactly one
+    shuffle (on doc_id) with map-side partial mins. Output:
+    (doc_id, sig: array<long> length k).
+    """
+    tok = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"))
+        .withColumn("h", md5_hash28_col(F.col("tok")))  # 28-bit: overflow-free perms
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MOD)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
+    ]
+    sig = tok.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate
+    pairs. Returns (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs:
+    (doc_a, doc_b, jaccard). Distinct-token semantics (both Spark
+    array_intersect/distinct and DuckDB list_* dedup)."""
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("toks")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        candidates.join(a, candidates.doc_a == F.col("a.doc_id"))
+        .join(b, candidates.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+                / F.size(F.array_union("a.toks", "b.toks")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_shingles_col(text, n: int = 2):
+    """Word n-gram shingles as an array column (n=2 bigrams).
+    Guarded: Spark's sequence(1, 0) DESCENDS, so short docs must map
+    to an explicit empty array."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    from pyspark.sql import types as T
+
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.lit([]).cast(T.ArrayType(T.StringType()))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, n: int = 2) -> DataFrame:
+    """n-gram Jaccard over candidate pairs (blocked upstream)."""
+    sh = docs.select("doc_id", ngram_shingles_col(F.col("text"), n).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        candidates.join(a, candidates.doc_a == F.col("a.doc_id"))
+        .join(b, candidates.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-bit majority over token hashes.
+
+    One explode + one shuffle on doc_id: bit contributions are summed
+    as +/-1 weights in a single agg with ``bits`` columns (map-side
+    partial sums), then recombined into an integer. Output:
+    (doc_id, simhash:long)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+    ).withColumn("h", md5_hash56_col(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked by
+    16-bit halves (a pair within hamming<=3 shares at least one half
+    exactly for bits=32 ... pigeonhole over 4 chunks guarantees <=3
+    differing bits leaves one chunk equal when chunks>=4). Uses 4
+    chunks of bits/4."""
+    chunks = 4
+    width = bits // chunks
+    sh = simhash(docs, bits)
+    keyed = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    l, r = keyed.alias("l"), keyed.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicates. Exact O(n^2) variant for
+    verification; production path blocks by random-hyperplane sign
+    buckets first (see ann.lsh_bucketed_topk). Returns
+    (vec_a, vec_b, cos) with cos >= threshold, vec_a < vec_b."""
+    from .ann import cosine_expr
+
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

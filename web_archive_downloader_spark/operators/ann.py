@@ -79,26 +79,48 @@ def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list,
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign-bucket (or
-    any 1-bit-flipped bucket when multiprobe). Same output schema as
-    brute_force_topk."""
-    planes = _hyperplanes(dim, n_planes)
+    """Approximate top-k via MULTI-TABLE sign-LSH: ``n_tables``
+    independent hyperplane sets; a corpus vector is a candidate if it
+    shares the query's bucket in ANY table (plus 1-bit-flip multiprobe
+    buckets). Classic recall/cost trade: per-table match prob for
+    angle t is (1 - t/pi)^n_planes; the table union drives recall ->
+    1 for genuinely-similar pairs while keeping candidate counts
+    ~ n_tables * n/2^n_planes.
+
+    Scale shape: bucket ids are computed in the scan projection (pure
+    expressions), candidates form via an equi-join on (table, bucket)
+    with the small query side broadcast — the corpus is never
+    shuffled. Same output schema as brute_force_topk."""
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", sign_bucket_col(F.col("v"), planes))
-    q = e.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+        buckets.append(
+            F.struct(F.lit(t).alias("tbl"), sign_bucket_col(F.col("v"), planes).alias("b"))
+        )
+    eb = e.select("vec_id", "v", F.explode(F.array(*buckets)).alias("tb")).select(
+        "vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.b").alias("b")
+    )
+    q = eb.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("tbl").alias("qtbl"), F.col("b").alias("qb"),
     )
     if multiprobe:
         probes = F.array(
             F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
         )
-        q = q.select("query_id", "qv", F.explode(probes).alias("qb"))
-    cand = e.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")))
+        q = q.select("query_id", "qv", "qtbl", F.explode(probes).alias("qb"))
+    cand = eb.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("qtbl")) & (F.col("b") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

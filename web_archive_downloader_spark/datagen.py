@@ -249,3 +249,20 @@ def default_config(**kw) -> EngineConfig:
 # Deterministic stand-in for the Memento path's datetime.now()
 # timestamp (memento_client.py:30,126) — injected literal (SURVEY §3 E3).
 MEMENTO_NOW_TS = "20240101000000"
+
+
+def gen_cdx_multihost(n_urls: int, n_hosts: int = 50, seed: int = 42, zipf: float = 1.3) -> list[list]:
+    """Throughput/scaling fixture: CDX rows spread over a zipf-skewed
+    host distribution (hot hosts >> tail — exercises salting + the
+    per-host politeness budget across many hosts). One snapshot per
+    URL; no invalid rows (throughput, not validation, is the point)."""
+    rng = np.random.default_rng(seed + 3)
+    weights = 1.0 / np.arange(1, n_hosts + 1) ** zipf
+    weights /= weights.sum()
+    hosts = rng.choice(n_hosts, size=n_urls, p=weights)
+    records = []
+    for i in range(n_urls):
+        url = f"https://host{hosts[i]:03d}.example.org/p/{_WORDS[i % len(_WORDS)]}-{i}"
+        ts = f"2023{1 + i % 12:02d}{1 + i % 28:02d}{i % 24:02d}{i % 60:02d}{i % 60:02d}"
+        records.append([url, ts, "text/html"])
+    return records

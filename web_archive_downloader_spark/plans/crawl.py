@@ -156,8 +156,8 @@ class CrawlPlan:
         self.config = config
 
     # ---- one epoch ----
-    def run_epoch(self, epoch: int) -> int:
-        """Returns the number of rows scheduled this epoch."""
+    def run_epoch(self, epoch: int) -> tuple[int, int]:
+        """Returns (rows scheduled this epoch, frontier rows remaining)."""
         cfg = self.config
         store = self.store
         frontier = store.read_latest_only("frontier", FRONTIER_SCHEMA)
@@ -180,12 +180,13 @@ class CrawlPlan:
         n_sched = sched.count()
         if n_sched == 0:
             # nothing runnable now; advance epoch only if retries pending
+            fpath = store.stage("frontier", epoch, frontier)
             staged = {
-                "frontier": store.stage("frontier", epoch, frontier),
+                "frontier": fpath,
                 "lineage": store.stage("lineage", epoch, self._lineage(epoch, sched)),
             }
             store.commit(epoch, staged)
-            return 0
+            return 0, self.spark.read.parquet(fpath).count()
 
         sched = sched.cache()
         leftover = unseen.join(sched.select("url"), "url", "left_anti")
@@ -207,18 +208,17 @@ class CrawlPlan:
         )
         dead_wayback = routed.filter(F.col("route") == "dead_wayback")
 
-        # --- wayback-ok: extract + assets ---
+        # --- wayback-ok: extract (title + content + success probe) ---
         extracted = extract_stage(ok.select("url", "ts", "seq", "attempt", "html"), cfg).cache()
-        md_probe = self._md_nonempty(extracted)
-        ok_pages = md_probe.filter(F.col("title").isNotNull() & F.col("md_ok"))
-        extract_fail = md_probe.filter(F.col("title").isNull() | ~F.col("md_ok"))
+        ok_pages = extracted.filter(F.col("title").isNotNull() & F.col("md_ok"))
+        extract_fail = extracted.filter(F.col("title").isNull() | ~F.col("md_ok"))
 
         assets = asset_fetch_stage(
             find_assets_stage(ok.select("url", "ts", "seq", "html"), cfg)
         ).filter(F.col("bytes").isNotNull())
 
         # --- memento fallback ---
-        mem = memento_stage(dead_wayback.select("url", "ts", "seq", "attempt"), cfg).cache()
+        mem = memento_stage(dead_wayback.select("url", "ts", "seq", "attempt"), cfg)
         mem_ok_raw = mem.filter(F.col("memento_result") == "ok")
         mem_extracted = extract_stage(
             mem_ok_raw.select(
@@ -226,10 +226,9 @@ class CrawlPlan:
                 F.col("memento_html").alias("html"),
             ),
             cfg,
-        )
-        mem_probe = self._md_nonempty(mem_extracted)
-        mem_success = mem_probe.filter(F.col("title").isNotNull() & F.col("md_ok"))
-        mem_fail = mem_probe.filter(F.col("title").isNull() | ~F.col("md_ok")).select(
+        ).cache()
+        mem_success = mem_extracted.filter(F.col("title").isNotNull() & F.col("md_ok"))
+        mem_fail = mem_extracted.filter(F.col("title").isNull() | ~F.col("md_ok")).select(
             "url", "seq", F.lit("memento_extract_or_save_fail").alias("disposition")
         )
         mem_dead = mem.filter(F.col("memento_result") != "ok").select(
@@ -253,35 +252,42 @@ class CrawlPlan:
             "page_url", "ts", "seq", "kind", "asset_url", "asset_pos",
             "nbytes", F.lit(epoch).alias("epoch"),
         )
-        seen_new = docs_raw.select("url", "seq", F.lit(epoch).alias("epoch"))
+
+        # Stage the expensive outputs FIRST, then derive the small
+        # tables (seen/bloom/processed) from the already-written
+        # parquet — each epoch runs the fetch/extract UDFs exactly once.
+        staged = {
+            "docs_raw": store.stage("docs_raw", epoch, docs_raw),
+            "assets_raw": store.stage("assets_raw", epoch, assets_raw),
+        }
+        docs_committed = self.spark.read.parquet(staged["docs_raw"])
+
+        seen_new = docs_committed.select("url", "seq", F.lit(epoch).alias("epoch"))
         processed = (
-            docs_raw.select("url", "seq", F.concat(F.lit("success_"), F.col("via")).alias("disposition"))
+            docs_committed.select(
+                "url", "seq", F.concat(F.lit("success_"), F.col("via")).alias("disposition")
+            )
             .unionByName(extract_fail.select("url", "seq", F.lit("extract_fail").alias("disposition")))
             .unionByName(mem_fail)
             .unionByName(mem_dead)
             .withColumn("epoch", F.lit(epoch))
         )
-
         new_frontier = held.unionByName(leftover).unionByName(retry)
-
         bloom_new = build_bloom_sketches(
             seen_new, cfg.seen_partitions,
             expected_per_partition=4096, fpp=cfg.bloom_fpp,
-        ).withColumnRenamed("pid", "partition_id")
+        )
 
-        staged = {
-            "frontier": store.stage("frontier", epoch, new_frontier),
-            "docs_raw": store.stage("docs_raw", epoch, docs_raw),
-            "assets_raw": store.stage("assets_raw", epoch, assets_raw),
-            "url_seen": store.stage("url_seen", epoch, seen_new),
-            "processed": store.stage("processed", epoch, processed),
-            "bloom": store.stage("bloom", epoch, bloom_new),
-            "lineage": store.stage("lineage", epoch, self._lineage(epoch, sched)),
-        }
+        staged["frontier"] = store.stage("frontier", epoch, new_frontier)
+        staged["url_seen"] = store.stage("url_seen", epoch, seen_new)
+        staged["processed"] = store.stage("processed", epoch, processed)
+        staged["bloom"] = store.stage("bloom", epoch, bloom_new)
+        staged["lineage"] = store.stage("lineage", epoch, self._lineage(epoch, sched))
         store.commit(epoch, staged)
-        for df in (sched, fetched, routed, extracted, mem):
+        n_pending = self.spark.read.parquet(staged["frontier"]).count()
+        for df in (sched, fetched, routed, extracted, mem_extracted):
             df.unpersist()
-        return n_sched
+        return n_sched, n_pending
 
     def _bloom_schema(self) -> T.StructType:
         return T.StructType(
@@ -290,17 +296,6 @@ class CrawlPlan:
                 T.StructField("sketch", T.BinaryType()),
             ]
         )
-
-    def _md_nonempty(self, extracted: DataFrame) -> DataFrame:
-        """Provisional markdown probe: decides success at epoch time.
-        Link-rewrite cannot change markdown emptiness (it only alters
-        attribute values), so this is equivalent to the reference's
-        post-rewrite check (main.py:155)."""
-        @F.pandas_udf(T.BooleanType())
-        def md_ok_udf(contents: pd.Series) -> pd.Series:
-            return pd.Series([bool(html_to_markdown(c)) if c else False for c in contents])
-
-        return extracted.withColumn("md_ok", md_ok_udf(F.col("content_html")))
 
     def _lineage(self, epoch: int, sched: DataFrame) -> DataFrame:
         """Per-epoch per-host grant counts (politeness audit) +
@@ -350,11 +345,11 @@ class CrawlPlan:
             manifest = store.read_manifest()
             manifest["tables"].setdefault("frontier", []).append(path)
             store._write_manifest(manifest)
+        pending = store.read_latest_only("frontier", FRONTIER_SCHEMA).count()
         for epoch in range(start_epoch, max_epochs):
-            pending = store.read_latest_only("frontier", FRONTIER_SCHEMA).count()
             if pending == 0:
                 break
-            n = self.run_epoch(epoch)
+            n, pending = self.run_epoch(epoch)
             stats.epochs += 1
             stats.scheduled += n
         return stats

@@ -170,30 +170,40 @@ def extract_stage(pages: DataFrame, config: EngineConfig) -> DataFrame:
         + [
             T.StructField("title", T.StringType()),
             T.StructField("content_html", T.StringType()),
+            T.StructField("md_ok", T.BooleanType()),
         ]
     )
     selectors = tuple(config.content_selectors)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            titles, contents = [], []
+            titles, contents, md_oks = [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
                 if not html:
                     titles.append(None)
                     contents.append(None)
+                    md_oks.append(False)
                     continue
                 try:
                     soup = _parse(html)
                     title = extract_title_from_soup(soup, url)
                     content = find_main_content(soup, selectors)
+                    content_str = str(content) if content is not None else None
                     titles.append(title)
-                    contents.append(str(content) if content is not None else None)
+                    contents.append(content_str)
+                    # provisional success probe (main.py:155): the
+                    # later link-rewrite only alters attribute values,
+                    # which cannot change markdown emptiness, so this
+                    # equals the reference's post-rewrite check
+                    md_oks.append(bool(html_to_markdown(content_str)) if content_str else False)
                 except Exception:
                     titles.append(None)
                     contents.append(None)
+                    md_oks.append(False)
             pdf = pdf.copy()
             pdf["title"] = titles
             pdf["content_html"] = contents
+            pdf["md_ok"] = md_oks
             yield pdf
 
     return pages.mapInPandas(run, out_schema)

@@ -34,10 +34,12 @@ from web_archive_downloader_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    signature_clusters,
     simhash,
 )
 
-MOD = (1 << 61) - 1
+from web_archive_downloader_spark.operators.dedup import MOD  # noqa: E402
+
 ANN_QUERY_IDS = [3, 17, 42, 111, 256]
 
 
@@ -207,6 +209,10 @@ def _q_minhash_sig(spark, sf):
     return sig.select("doc_id", F.posexplode("sig").alias("i", "minv"))
 
 
+def _q_sig_clusters(spark, sf):
+    return signature_clusters(_t(spark, sf, "documents"), k=16)
+
+
 def _q_lsh_candidates(spark, sf):
     return minhash_lsh_candidates(_t(spark, sf, "documents"), k=16, bands=4)
 
@@ -248,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
         "minhash_sig": _q_minhash_sig,
+        "sig_clusters": _q_sig_clusters,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_pairs": _q_jaccard_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -300,12 +307,21 @@ minh AS (
 
 
 def _lsh_cte(k: int = 16, bands: int = 4) -> str:
+    # pairs enumerate signature-cluster REPRESENTATIVES only (see
+    # operators/dedup.py:minhash_lsh_candidates)
     rpb = k // bands
     return f"""{_minhash_cte(k)},
+sigs AS (
+  SELECT doc_id, string_agg(minv::VARCHAR, ',' ORDER BY i) AS sig_key
+  FROM minh GROUP BY doc_id
+),
+reps AS (SELECT sig_key, min(doc_id) AS rep_id, count(*) AS cluster_size
+         FROM sigs GROUP BY sig_key),
 banded AS (
-  SELECT doc_id, i // {rpb} AS band,
+  SELECT m.doc_id, i // {rpb} AS band,
          string_agg(minv::VARCHAR, ',' ORDER BY i) AS key
-  FROM minh GROUP BY doc_id, i // {rpb}
+  FROM minh m JOIN reps r ON m.doc_id = r.rep_id
+  GROUP BY m.doc_id, i // {rpb}
 ),
 cands AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -424,6 +440,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sig": f"""
             WITH {_minhash_cte(16)}
             SELECT doc_id, i, minv FROM minh
+        """,
+        "sig_clusters": f"""
+            WITH {_minhash_cte(16)},
+            sigs AS (
+              SELECT doc_id, string_agg(minv::VARCHAR, ',' ORDER BY i) AS sig_key
+              FROM minh GROUP BY doc_id
+            )
+            SELECT sig_key, min(doc_id) AS rep_id, count(*) AS cluster_size
+            FROM sigs GROUP BY sig_key
         """,
         "lsh_candidates": f"""
             WITH {_lsh_cte(16, 4)}

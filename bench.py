@@ -59,7 +59,9 @@ def run_crawl(spark, n_urls: int = CRAWL_URLS) -> dict:
     # compute path (fetch/extract/route/commit); politeness-bounded
     # waiting is wall-clock sleep in production, not compute
     raw = gen_cdx_multihost(n_urls, CRAWL_HOSTS, zipf=0.7)
-    cfg = default_config(epoch_seconds=180.0)  # 120 tokens/host/epoch
+    # target_domain="" => per-page netloc (reference fallback,
+    # html_processor.py:24), so same-host assets flow on every host
+    cfg = default_config(epoch_seconds=180.0, target_domain="")
     tmp = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         store = StateStore(tmp, spark)

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 
 from ..functions.textstats import md5_hash28_col, md5_hash56_col, tokens_col
 
-MOD = (1 << 61) - 1  # Mersenne prime for permutation hashing
+# Permutation modulus: 2^31-1 (Mersenne prime). Chosen so that with
+# 28-bit token hashes (a*h + b) BOTH (a) wraps the modulus many times
+# (a map that never wraps is monotonic in h — every "permutation"
+# would then collapse to the same argmin and the jaccard estimator
+# degenerates) and (b) stays < 2^63 (Spark wraps int64 silently,
+# DuckDB errors — overflow-free arithmetic is a portability invariant).
+MOD = (1 << 31) - 1
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -49,7 +55,7 @@ def _perm_params(k: int) -> list[tuple[int, int]]:
     x = 42
     for _ in range(k):
         x = (a * x + b) % (1 << 31)
-        a_i = (2 * x + 1) % MOD  # odd
+        a_i = (2 * x + 1) % MOD or 1  # odd, nonzero, < MOD
         x = (a * x + b) % (1 << 31)
         b_i = x % MOD
         params.append((a_i, b_i))
@@ -76,13 +82,41 @@ def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
     return sig.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
+def signature_clusters(docs: DataFrame, k: int = 16) -> DataFrame:
+    """Docs with IDENTICAL full MinHash signatures form trivial
+    duplicate clusters — collapsing them BEFORE pair enumeration is
+    what keeps LSH sub-quadratic on duplicate-heavy corpora (a single
+    mega-bucket of N copies would otherwise emit N^2/2 pairs; here it
+    emits one cluster row). Returns (sig_key, rep_id, cluster_size)."""
+    sig = minhash_signatures(docs, k)
+    return (
+        sig.select("doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_key"))
+        .groupBy("sig_key")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("cluster_size"))
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
-    """LSH banding: docs sharing any band signature become candidate
-    pairs. Returns (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    """LSH banding over signature-cluster REPRESENTATIVES: distinct
+    full signatures are clustered first (signature_clusters), then
+    representatives sharing any band key become candidate pairs.
+    Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Scale: pair output is quadratic only in the number of DISTINCT
+    signatures per bucket, never in duplicate multiplicity."""
     assert k % bands == 0
     rows_per_band = k // bands
     sig = minhash_signatures(docs, k)
-    banded = sig.select(
+    keyed = sig.withColumn(
+        "sig_key", F.concat_ws(",", F.col("sig").cast("array<string>"))
+    )
+    reps = keyed.groupBy("sig_key").agg(F.min("doc_id").alias("rep_id"))
+    rep_sigs = (
+        keyed.join(reps, "sig_key")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "sig")
+    )
+    banded = rep_sigs.select(
         "doc_id",
         F.explode(
             F.array(

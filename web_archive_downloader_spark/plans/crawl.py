@@ -253,13 +253,12 @@ class CrawlPlan:
             "nbytes", F.lit(epoch).alias("epoch"),
         )
 
-        # Stage the expensive outputs FIRST, then derive the small
+        # Stage the expensive output FIRST (materializes the cached
+        # fetch/extract chain exactly once), then derive the small
         # tables (seen/bloom/processed) from the already-written
-        # parquet — each epoch runs the fetch/extract UDFs exactly once.
-        staged = {
-            "docs_raw": store.stage("docs_raw", epoch, docs_raw),
-            "assets_raw": store.stage("assets_raw", epoch, assets_raw),
-        }
+        # parquet and stage everything else CONCURRENTLY — local mode
+        # pays ~1s fixed cost per action, so sibling writes overlap.
+        staged = {"docs_raw": store.stage("docs_raw", epoch, docs_raw)}
         docs_committed = self.spark.read.parquet(staged["docs_raw"])
 
         seen_new = docs_committed.select("url", "seq", F.lit(epoch).alias("epoch"))
@@ -278,11 +277,22 @@ class CrawlPlan:
             expected_per_partition=4096, fpp=cfg.bloom_fpp,
         )
 
-        staged["frontier"] = store.stage("frontier", epoch, new_frontier)
-        staged["url_seen"] = store.stage("url_seen", epoch, seen_new)
-        staged["processed"] = store.stage("processed", epoch, processed)
-        staged["bloom"] = store.stage("bloom", epoch, bloom_new)
-        staged["lineage"] = store.stage("lineage", epoch, self._lineage(epoch, sched))
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = {
+            "assets_raw": assets_raw,
+            "frontier": new_frontier,
+            "url_seen": seen_new,
+            "processed": processed,
+            "bloom": bloom_new,
+            "lineage": self._lineage(epoch, sched),
+        }
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = {
+                t: pool.submit(store.stage, t, epoch, df) for t, df in jobs.items()
+            }
+            for t, fut in futures.items():
+                staged[t] = fut.result()
         store.commit(epoch, staged)
         n_pending = self.spark.read.parquet(staged["frontier"]).count()
         for df in (sched, fetched, routed, extracted, mem_extracted):

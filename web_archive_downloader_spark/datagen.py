@@ -251,6 +251,31 @@ def default_config(**kw) -> EngineConfig:
 MEMENTO_NOW_TS = "20240101000000"
 
 
+def page_html_rich(url: str, n_paras: int = 40) -> str:
+    """Benchmark-weight page (~30 KB): same structural lattice as
+    page_html but realistically sized — real crawled pages are tens of
+    KB, and extract throughput at 100 TB is bounded by DOM work per
+    byte, so the scaling protocol must measure pages of that weight."""
+    h = _u(xxhash64_str("rich:" + url))
+    word = _WORDS[h % len(_WORDS)]
+    paras = []
+    for i in range(n_paras):
+        w1 = _WORDS[(h >> (i % 40)) % len(_WORDS)]
+        w2 = _WORDS[(h >> ((i + 7) % 40)) % len(_WORDS)]
+        paras.append(
+            f"<p>Paragraph {i} about {w1} and {w2} with <strong>bold {w1}</strong>, "
+            f'<em>emphasis</em>, a <a href="/{w1}/{i}">link to {w2}</a> and inline '
+            f"filler text that pads the document out to a realistic size for "
+            f"benchmark purposes, covering {w1} {w2} topics at length.</p>"
+            f"<ul><li>{w1} item {i}</li><li>{w2} item {i + 1}</li></ul>"
+            f'<img src="/media/img/fig-{(h >> (i % 32)) % 50}.png" alt="figure {i} of {w1}">'
+        )
+    return (
+        f"<html><head><title>Rich page {word} {h % 997}</title></head>"
+        f'<body><div id="content"><h1>Main {word}</h1>{"".join(paras)}</div></body></html>'
+    )
+
+
 def gen_cdx_multihost(n_urls: int, n_hosts: int = 50, seed: int = 42, zipf: float = 1.3) -> list[list]:
     """Throughput/scaling fixture: CDX rows spread over a zipf-skewed
     host distribution (hot hosts >> tail — exercises salting + the

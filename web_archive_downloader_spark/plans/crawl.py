@@ -192,7 +192,16 @@ class CrawlPlan:
         leftover = unseen.join(sched.select("url"), "url", "left_anti")
 
         # --- fetch + route ---
-        fetched = fetch_stage(sched).cache()
+        # The schedule is tiny by BYTES (urls) but heavy by WORK
+        # (fetch + DOM parse per row), so AQE's size-based coalescing
+        # would serialize it onto 1-2 tasks. Spread explicitly across
+        # the cluster by url hash; same-host rows stay co-located per
+        # partition only as politeness pacing requires (the per-host
+        # budget already bounds same-host rows per epoch).
+        par = min(
+            self.spark.sparkContext.defaultParallelism, max(1, n_sched // 8)
+        )
+        fetched = fetch_stage(sched.repartition(par, F.col("url"))).cache()
         routed = fetched.withColumn(
             "route", route_col(F.col("outcome"), F.col("attempt"), cfg.max_retries)
         ).cache()

@@ -71,6 +71,15 @@ class EngineConfig:
     seen_partitions: int = 32
     # Bloom prefilter sizing.
     bloom_fpp: float = 0.01
+    # Robots gate (engine-only; the reference has none — SURVEY §2.10).
+    # Off by default so reference-equality runs are unaffected; the
+    # oracle applies the same rules when enabled.
+    respect_robots: bool = False
+    # Frontier link expansion (depth+1 from discovered links); the
+    # reference crawls only the CDX list, so this is off for
+    # equality runs.
+    expand_links: bool = False
+    max_depth: int = 2
 
     def __post_init__(self) -> None:
         if self.request_delay_seconds < 0:

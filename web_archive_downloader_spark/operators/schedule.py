@@ -29,11 +29,17 @@ def per_host_topk(
     salt_buckets: int = 8,
     host_col: str = "host",
     order_cols: tuple[str, ...] = ("priority", "depth", "seq"),
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Select <= k rows per host, ordered by order_cols (ascending).
     Returns the selected rows with their within-host rank as
     ``host_rank`` (1-based). Deterministic: order_cols must be a total
-    order within a host (seq is unique)."""
+    order within a host (seq is unique).
+
+    ``budgets`` (host, host_budget) — e.g. robots crawl_delay-derived
+    token counts — overrides k per host (broadcast join; missing
+    hosts fall back to k). The salted pre-pass still caps at k, so
+    budgets above k are clamped to k by construction."""
     order = [F.asc(c) for c in order_cols]
     if salt_buckets > 1:
         salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
@@ -46,10 +52,12 @@ def per_host_topk(
     else:
         pre = frontier
     w2 = Window.partitionBy(host_col).orderBy(*order)
-    return (
-        pre.withColumn("host_rank", F.row_number().over(w2))
-        .filter(F.col("host_rank") <= k)
-    )
+    ranked = pre.withColumn("host_rank", F.row_number().over(w2))
+    if budgets is not None:
+        ranked = ranked.join(F.broadcast(budgets), host_col, "left")
+        cap = F.least(F.coalesce(F.col("host_budget"), F.lit(k)), F.lit(k))
+        return ranked.filter(F.col("host_rank") <= cap).drop("host_budget")
+    return ranked.filter(F.col("host_rank") <= k)
 
 
 def eligible(frontier: DataFrame, epoch: int) -> DataFrame:

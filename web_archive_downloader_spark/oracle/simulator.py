@@ -151,8 +151,14 @@ def run_oracle(
     cdx_data: list[list],
     config: EngineConfig,
     checkpoint: set[str] | None = None,
+    robots: dict[str, list[str]] | None = None,
 ) -> OracleResult:
-    """Full sequential crawl replay (main.py:21-175)."""
+    """Full sequential crawl replay (main.py:21-175). ``robots`` maps
+    host -> disallow path prefixes (engine-only gate; the reference
+    has none — enabled runs apply it before fetching, matching the
+    engine's pre-schedule gate)."""
+    from urllib.parse import urlparse
+
     res = OracleResult()
     fs = _FakeFS()
     processed_urls = set(checkpoint or set())
@@ -162,6 +168,13 @@ def run_oracle(
         if url in processed_urls:
             continue
         res.crawl_order.append(url)
+
+        if robots is not None:
+            parsed = urlparse(url)
+            rules = robots.get(parsed.netloc, [])
+            if any((parsed.path or "").startswith(p) for p in rules):
+                res.failed.append((url, "robots_blocked"))
+                continue
 
         html = _fetch_with_retries(url, config.max_retries)
 

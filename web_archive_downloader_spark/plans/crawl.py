@@ -166,6 +166,28 @@ class CrawlPlan:
         eligible = frontier.filter(F.col("eligible_epoch") <= epoch)
         held = frontier.filter(F.col("eligible_epoch") > epoch)
 
+        # --- robots gate (engine-only; off for reference-equality) ---
+        robots_blocked_rows = None
+        budgets = None
+        if cfg.respect_robots:
+            from ..operators.robots import (
+                ROBOTS_SCHEMA,
+                apply_robots_gate,
+                per_host_budgets,
+            )
+
+            robots = store.read("robots", ROBOTS_SCHEMA)
+            gated = apply_robots_gate(eligible, robots)
+            robots_blocked_rows = gated.filter(F.col("robots_blocked")).select(
+                "url", "seq", F.lit("robots_blocked").alias("disposition")
+            )
+            eligible = gated.filter(~F.col("robots_blocked")).drop(
+                "robots_blocked", "crawl_delay"
+            )
+            budgets = per_host_budgets(
+                robots, cfg.epoch_seconds, cfg.request_delay_seconds
+            )
+
         sketches = [
             (r["partition_id"], bytes(r["sketch"]))
             for r in store.read("bloom", self._bloom_schema()).collect()
@@ -175,16 +197,21 @@ class CrawlPlan:
         )
 
         sched = per_host_topk(
-            unseen, cfg.per_host_epoch_budget, cfg.host_salt_buckets
+            unseen, cfg.per_host_epoch_budget, cfg.host_salt_buckets, budgets=budgets
         ).drop("host_rank")
         n_sched = sched.count()
         if n_sched == 0:
-            # nothing runnable now; advance epoch only if retries pending
-            fpath = store.stage("frontier", epoch, frontier)
+            # nothing runnable now; still drain robots-blocked rows
+            # and de-dup seen rows, then advance the epoch
+            fpath = store.stage("frontier", epoch, held.unionByName(unseen))
             staged = {
                 "frontier": fpath,
                 "lineage": store.stage("lineage", epoch, self._lineage(epoch, sched)),
             }
+            if robots_blocked_rows is not None:
+                staged["processed"] = store.stage(
+                    "processed", epoch, robots_blocked_rows.withColumn("epoch", F.lit(epoch))
+                )
             store.commit(epoch, staged)
             return 0, self.spark.read.parquet(fpath).count()
 
@@ -278,9 +305,20 @@ class CrawlPlan:
             .unionByName(extract_fail.select("url", "seq", F.lit("extract_fail").alias("disposition")))
             .unionByName(mem_fail)
             .unionByName(mem_dead)
-            .withColumn("epoch", F.lit(epoch))
         )
+        if robots_blocked_rows is not None:
+            processed = processed.unionByName(robots_blocked_rows)
+        processed = processed.withColumn("epoch", F.lit(epoch))
         new_frontier = held.unionByName(leftover).unionByName(retry)
+
+        # --- frontier expansion (engine-only, depth-bounded): links
+        # discovered in fetched pages enter the frontier at depth+1,
+        # priority = depth (host fairness comes from the per-host
+        # budget, depth ordering from the top-k sort keys) ---
+        if cfg.expand_links:
+            new_frontier = new_frontier.unionByName(
+                self._expand_links(ok, frontier, epoch)
+            )
         bloom_new = build_bloom_sketches(
             seen_new, cfg.seen_partitions,
             expected_per_partition=4096, fpp=cfg.bloom_fpp,
@@ -315,6 +353,87 @@ class CrawlPlan:
                 T.StructField("sketch", T.BinaryType()),
             ]
         )
+
+    def _expand_links(self, ok_pages: DataFrame, frontier: DataFrame, epoch: int) -> DataFrame:
+        """U1-adjacent frontier expansion: <a href> links from fetched
+        pages -> new frontier rows at depth+1 (bounded by max_depth),
+        deduped within the batch and against the current frontier
+        (the exact seen-set anti-join happens at scheduling time).
+
+        New seqs are a pure function of (depth, parent seq, link
+        position) so expansion stays deterministic under any task
+        ordering: seq = depth<<50 | parent_seq<<12 | pos."""
+        from collections.abc import Iterator
+        from urllib.parse import urljoin, urlparse
+
+        cfg = self.config
+        link_schema = T.StructType(
+            [
+                T.StructField("parent_seq", T.LongType()),
+                T.StructField("parent_depth", T.IntegerType()),
+                T.StructField("parent_ts", T.StringType()),
+                T.StructField("url", T.StringType()),
+                T.StructField("pos", T.IntegerType()),
+            ]
+        )
+
+        def extract_links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..content.extract import _parse
+
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    if not r.html:
+                        continue
+                    try:
+                        soup = _parse(r.html)
+                        seen_here = set()
+                        for a in soup.find_all("a", href=True):
+                            href = a["href"]
+                            if not href or href.startswith(("#", "mailto:", "javascript:")):
+                                continue
+                            absu = urljoin(r.url, href).split("#", 1)[0]
+                            if urlparse(absu).scheme not in ("http", "https"):
+                                continue
+                            if absu not in seen_here:
+                                seen_here.add(absu)
+                        for pos, link in enumerate(sorted(seen_here)[:64]):
+                            rows.append((r.seq, int(r.depth), r.ts, link, pos))
+                    except Exception:
+                        pass
+                yield pd.DataFrame(rows, columns=[f.name for f in link_schema.fields])
+
+        links = ok_pages.select("url", "ts", "seq", "depth", "html").mapInPandas(
+            extract_links, link_schema
+        )
+        expanded = (
+            links.filter(F.col("parent_depth") + 1 <= cfg.max_depth)
+            .select(
+                "url",
+                F.col("parent_ts").alias("ts"),
+                F.parse_url("url", F.lit("HOST")).alias("host"),
+                (F.col("parent_depth") + 1).alias("depth"),
+                (F.col("parent_depth") + 1).cast("double").alias("priority"),
+                (
+                    (F.col("parent_depth") + 1).cast("long") * F.lit(1 << 50)
+                    + F.col("parent_seq") * F.lit(1 << 12)
+                    + F.col("pos")
+                ).alias("seq"),
+                F.lit(1).alias("attempt"),
+                F.lit(epoch + 1).alias("eligible_epoch"),
+            )
+        )
+        # batch-internal + frontier dedup (keep the smallest seq per url)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("url").orderBy("seq")
+        expanded = (
+            expanded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .join(frontier.select("url"), "url", "left_anti")
+        )
+        return expanded.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
     def _lineage(self, epoch: int, sched: DataFrame) -> DataFrame:
         """Per-epoch per-host grant counts (politeness audit) +

@@ -180,10 +180,12 @@ def run_compute_batch(spark, pages_path: str) -> dict:
 
     cfg = default_config(target_domain="")
     pages = spark.read.parquet(pages_path)
-    par = spark.sparkContext.defaultParallelism
     n_urls = pages.count()
     t0 = time.perf_counter()
-    extracted = extract_stage(pages.repartition(par, F.col("url")), cfg)
+    # input was materialized with `par` files — the scan parallelizes
+    # directly; a repartition here would add a payload-sized shuffle
+    # to the timed region for no balance gain
+    extracted = extract_stage(pages, cfg)
     out = extracted.filter(F.col("md_ok")).select(
         "url", "title", char_poly_hash_col(F.col("title")).alias("fp")
     )

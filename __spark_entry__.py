@@ -239,6 +239,59 @@ def _q_text_stats(spark, sf):
     return document_stats(_t(spark, sf, "documents"))
 
 
+def _doc_url():
+    return F.concat(
+        F.lit("https://ex.com/"), F.col("source"), F.lit("/sub%20dir/item-"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _q_page_dir(spark, sf):
+    from web_archive_downloader_spark.functions.scalar import page_dir_col
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", page_dir_col(_doc_url()).alias("dir"))
+
+
+def _q_url_parts(spark, sf):
+    d = _t(spark, sf, "documents")
+    url = _doc_url()
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
+
+
+def _q_markdown_header(spark, sf):
+    from web_archive_downloader_spark.functions.scalar import markdown_header_col
+
+    ev = _t(spark, sf, "events")
+    ts14 = F.date_format("ts", "yyyyMMddHHmmss")
+    title = F.concat(F.lit("Event "), F.col("event_id").cast("string"))
+    url = F.concat(F.lit("https://ex.com/e/"), F.col("event_id").cast("string"))
+    return ev.select("event_id", markdown_header_col(title, url, ts14).alias("header"))
+
+
+def _q_json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+def _q_windowed_rates(spark, sf):
+    from web_archive_downloader_spark.streaming.events import windowed_event_rates
+
+    return windowed_event_rates(_t(spark, sf, "events"))
+
+
+def _q_embedding_neardup(spark, sf):
+    from web_archive_downloader_spark.operators.dedup import embedding_neardup
+
+    return embedding_neardup(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "latest_event_per_user": _q_latest_event_per_user,
@@ -261,6 +314,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_bruteforce": _q_ann_bruteforce,
         "text_stats": _q_text_stats,
+        "page_dir": _q_page_dir,
+        "url_parts": _q_url_parts,
+        "markdown_header": _q_markdown_header,
+        "json_extract": _q_json_extract,
+        "windowed_rates": _q_windowed_rates,
+        "embedding_neardup": _q_embedding_neardup,
     }
 
 
@@ -504,6 +563,39 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
               WHERE q.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
             ) WHERE rn <= 10
+        """,
+        "page_dir": """
+            SELECT doc_id, 'output/' || source || '/sub_dir' AS dir
+            FROM documents
+        """,
+        "url_parts": """
+            SELECT doc_id, 'ex.com' AS host,
+                   '/' || source || '/sub%20dir/item-' || doc_id AS path
+            FROM documents
+        """,
+        "markdown_header": """
+            SELECT event_id,
+                   '# Event ' || event_id || '\\n\\n_Source URL: https://ex.com/e/'
+                   || event_id || '_\\n_Archived Timestamp: '
+                   || strftime(ts, '%Y-%m-%d %H:%M:%S') || '_\\n\\n' AS header
+            FROM events
+        """,
+        "json_extract": """
+            SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+            FROM events
+        """,
+        "windowed_rates": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
         """,
         "text_stats": f"""
             SELECT doc_id,

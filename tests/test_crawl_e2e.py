@@ -77,6 +77,25 @@ def test_assets_match(crawl_result):
     assert got == exp
 
 
+def test_images_corpus_matches_oracle(crawl_result, spark):
+    """The graft's payload corpus (BASELINE.json:15): decoded dims,
+    phash, format, caption byte-equality, per saved image payload."""
+    from web_archive_downloader_spark.operators.images import IMAGES_SCHEMA
+
+    _, store, _, _, oracle = crawl_result
+    imgs = store.read("images", IMAGES_SCHEMA)
+    got = {
+        r.image_id: (r.w, r.h, r.fmt, r.caption, r.phash, len(bytes(r.bytes)))
+        for r in imgs.collect()
+    }
+    exp = {
+        i["image_id"]: (i["w"], i["h"], i["fmt"], i["caption"], i["phash"], i["nbytes"])
+        for i in oracle.images
+    }
+    assert len(exp) > 0
+    assert got == exp
+
+
 def test_politeness_budget_respected(crawl_result, spark):
     import pyspark.sql.functions as F
     from pyspark.sql import types as T

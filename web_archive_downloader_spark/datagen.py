@@ -196,13 +196,34 @@ def wayback_fetch_sim(url: str, attempt: int) -> tuple[str, str | None]:
 
 
 def asset_bytes(asset_url: str) -> bytes | None:
-    """Deterministic asset payload; ~10% of assets 404."""
+    """Deterministic asset payload; ~10% of assets 404. Image URLs
+    (.png/.jpg/.jpeg) serve REAL encoded images (PNG or the
+    deterministic lossy stub) so the crawl's image-decode stage runs
+    against decodable payloads — the graft's corpus is image+caption
+    pairs (BASELINE.json:15)."""
     h = _u(xxhash64_str("assetbytes:" + asset_url))
     if h % 10 == 0:
         return None
+    low = asset_url.lower()
+    if low.endswith((".png", ".jpg", ".jpeg")):
+        rng = np.random.default_rng(h % (2**32))
+        size = 16 + (h >> 8) % 17  # 16..32 px square
+        px = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        if low.endswith(".png"):
+            return bytes(encode_png(px))
+        return bytes(encode_fake_jpeg(px))
     size = 64 + h % 256
     rng = np.random.default_rng(h % (2**32))
     return rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+
+
+def asset_image_format(asset_url: str) -> str | None:
+    low = asset_url.lower()
+    if low.endswith(".png"):
+        return "png"
+    if low.endswith((".jpg", ".jpeg")):
+        return "jpeg"
+    return None
 
 
 # --- Image + caption corpus (BASELINE.json input_hint) -----------------

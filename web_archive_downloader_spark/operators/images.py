@@ -92,44 +92,110 @@ _CAPTION_TYPE = T.ArrayType(
         [
             T.StructField("asset_url", T.StringType()),
             T.StructField("caption", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
         ]
     )
 )
 
 
-def extract_captions_stage(pages: DataFrame, target_domain: str) -> DataFrame:
-    """Caption extraction (the graft's analog of U5's alt/figcaption
-    output): per page, (img_url -> alt text) for same-domain images.
-    Byte-equality vs the reference extractor is tested on the fixture
-    lattice."""
+def extract_captions_kernel(html: str, page_url: str, target_domain: str) -> list[tuple[str, str]]:
+    """(asset_url, alt) per <img> tag in DOCUMENT ORDER, same-domain
+    (falsy target_domain -> the page's own netloc, mirroring the
+    reference's fallback html_processor.py:24). Shared by the UDF and
+    the oracle so caption equality tests bind the orchestration."""
     from urllib.parse import urljoin, urlparse
 
     from ..content.extract import _parse
+
+    out: list[tuple[str, str]] = []
+    if not html:
+        return out
+    try:
+        domain = target_domain or urlparse(page_url).netloc
+        soup = _parse(html)
+        for img in soup.find_all("img", src=True):
+            src = img["src"]
+            if not src or src.startswith("data:"):
+                continue
+            abs_url = urljoin(page_url, src)
+            if urlparse(abs_url).netloc == domain:
+                out.append((abs_url, img.get("alt", "")))
+    except Exception:
+        pass
+    return out
+
+
+def extract_captions_stage(pages: DataFrame, target_domain: str) -> DataFrame:
+    """Caption extraction (the graft's analog of U5's alt/figcaption
+    output): per page, (img_url, alt text, document position) for
+    same-domain images."""
 
     @F.pandas_udf(_CAPTION_TYPE)
     def captions_udf(urls: pd.Series, htmls: pd.Series) -> pd.Series:
         out = []
         for url, html in zip(urls, htmls):
-            caps = []
-            if html:
-                try:
-                    soup = _parse(html)
-                    for img in soup.find_all("img", src=True):
-                        src = img["src"]
-                        if not src or src.startswith("data:"):
-                            continue
-                        abs_url = urljoin(url, src)
-                        if urlparse(abs_url).netloc == target_domain:
-                            caps.append(
-                                {"asset_url": abs_url, "caption": img.get("alt", "")}
-                            )
-                except Exception:
-                    pass
+            caps = [
+                {"asset_url": a, "caption": c, "pos": i}
+                for i, (a, c) in enumerate(extract_captions_kernel(html, url, target_domain))
+            ]
             out.append(caps)
         return pd.Series(out)
 
     return (
         pages.withColumn("__caps", captions_udf(F.col("url"), F.col("html")))
         .select(F.col("url").alias("page_url"), F.explode("__caps").alias("c"))
-        .select("page_url", F.col("c.asset_url"), F.col("c.caption"))
+        .select("page_url", F.col("c.asset_url"), F.col("c.caption"), F.col("c.pos"))
     )
+
+
+def first_caption_per_asset(captions: DataFrame) -> DataFrame:
+    """First document-order caption per (page, asset url)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("page_url", "asset_url").orderBy("pos")
+    return (
+        captions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("page_url", "asset_url", "caption")
+    )
+
+
+def images_from_assets(img_assets: DataFrame, captions: DataFrame) -> DataFrame:
+    """The graft's payload corpus (BASELINE.json:15 input_hint):
+    fetched img-asset bytes -> decoded metadata + caption ->
+    (image_id, bytes, w, h, fmt, caption, phash). image_id =
+    xxhash64(page_url|asset_url) — stable across runs/partitionings."""
+    from ..content.paths import xxhash64_str
+    from ..datagen import asset_image_format
+
+    joined = img_assets.join(
+        first_caption_per_asset(captions), ["page_url", "asset_url"], "left"
+    )
+
+    out_schema = IMAGES_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                fmt = asset_image_format(r.asset_url)
+                if fmt is None or r.bytes is None:
+                    continue
+                try:
+                    px = decode_image(bytes(r.bytes), fmt)
+                except Exception:
+                    continue
+                rows.append(
+                    (
+                        str(xxhash64_str(f"{r.page_url}|{r.asset_url}")),
+                        bytes(r.bytes),
+                        px.shape[1],
+                        px.shape[0],
+                        fmt,
+                        r.caption if r.caption is not None else "",
+                        phash64(px),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return joined.mapInPandas(run, out_schema)

@@ -74,6 +74,7 @@ class OracleResult:
     seen: list[str] = field(default_factory=list)  # checkpoint adds, in order
     docs: list[dict] = field(default_factory=list)
     assets: list[dict] = field(default_factory=list)
+    images: list[dict] = field(default_factory=list)  # graft corpus rows
     failed: list[tuple[str, str]] = field(default_factory=list)  # (url, reason)
 
     @property
@@ -212,11 +213,39 @@ def run_oracle(
         # --- Wayback success path ---
         saved_assets_map: dict[str, str] = {}
         assets_found = find_assets(html, url, config)
+        page_captions: dict[str, str] | None = None
         for kind in config.enabled_asset_kinds:
             for asset_url in assets_found.get(kind, []):
                 content = asset_bytes(asset_url)
                 if not content:
                     continue
+                if kind == "img":
+                    from ..content.imagecodec import decode_image, phash64
+                    from ..content.paths import xxhash64_str
+                    from ..datagen import asset_image_format
+                    from ..operators.images import extract_captions_kernel
+
+                    fmt = asset_image_format(asset_url)
+                    if fmt is not None:
+                        if page_captions is None:
+                            page_captions = {}
+                            for a, c in extract_captions_kernel(html, url, config.target_domain):
+                                page_captions.setdefault(a, c)  # first doc-order wins
+                        try:
+                            px = decode_image(content, fmt)
+                            res.images.append(
+                                dict(
+                                    image_id=str(xxhash64_str(f"{url}|{asset_url}")),
+                                    w=px.shape[1],
+                                    h=px.shape[0],
+                                    fmt=fmt,
+                                    caption=page_captions.get(asset_url, ""),
+                                    phash=phash64(px),
+                                    nbytes=len(content),
+                                )
+                            )
+                        except Exception:
+                            pass
                 pdir = page_dir(url, config.output_dir)
                 adir = posixpath.join(pdir, "_assets", asset_type_dir(kind))
                 base, ext = asset_base_and_ext(asset_url)

@@ -251,7 +251,20 @@ class CrawlPlan:
 
         assets = asset_fetch_stage(
             find_assets_stage(ok.select("url", "ts", "seq", "html"), cfg)
-        ).filter(F.col("bytes").isNotNull())
+        ).filter(F.col("bytes").isNotNull()).cache()
+
+        # --- the graft's payload corpus: fetched image bytes + alt-text
+        # captions -> images table (BASELINE.json:15 input_hint) ---
+        images_new = None
+        if "img" in cfg.enabled_asset_kinds:
+            from ..operators.images import extract_captions_stage, images_from_assets
+
+            captions = extract_captions_stage(
+                ok.select("url", "html"), cfg.target_domain
+            )
+            images_new = images_from_assets(
+                assets.filter(F.col("kind") == "img"), captions
+            )
 
         # --- memento fallback ---
         mem = memento_stage(dead_wayback.select("url", "ts", "seq", "attempt"), cfg)
@@ -334,6 +347,8 @@ class CrawlPlan:
             "bloom": bloom_new,
             "lineage": self._lineage(epoch, sched),
         }
+        if images_new is not None:
+            jobs["images"] = images_new
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             futures = {
                 t: pool.submit(store.stage, t, epoch, df) for t, df in jobs.items()
@@ -342,7 +357,7 @@ class CrawlPlan:
                 staged[t] = fut.result()
         store.commit(epoch, staged)
         n_pending = self.spark.read.parquet(staged["frontier"]).count()
-        for df in (sched, fetched, routed, extracted, mem_extracted):
+        for df in (sched, fetched, routed, extracted, mem_extracted, assets):
             df.unpersist()
         return n_sched, n_pending
 

@@ -1,0 +1,60 @@
+"""spark-submit entry point (BASELINE launch mode: ``spark-submit
+--py-files`` on a multi-executor cluster).
+
+Runs a small end-to-end crawl over the deterministic fixtures and
+prints one JSON line of run stats. Usage:
+
+    zip -r /tmp/wads.zip web_archive_downloader_spark
+    spark-submit --master local[8] --py-files /tmp/wads.zip submit_job.py
+
+On a real cluster, swap the master URL; the package zip ships to every
+executor via --py-files.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    spark = (
+        SparkSession.builder.appName("wads_submit")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from web_archive_downloader_spark.datagen import default_config, gen_cdx_multihost
+    from web_archive_downloader_spark.plans.crawl import CrawlPlan
+    from web_archive_downloader_spark.sources.cdx import cdx_dataframe
+    from web_archive_downloader_spark.sources.state import StateStore
+
+    raw = gen_cdx_multihost(n_urls, 16, zipf=0.7)
+    cfg = default_config(epoch_seconds=120.0, target_domain="")
+    with tempfile.TemporaryDirectory(prefix="submit_crawl_") as tmp:
+        store = StateStore(tmp, spark)
+        plan = CrawlPlan(spark, store, cfg)
+        stats = plan.run(cdx_dataframe(spark, raw))
+        docs, assets = plan.finalize_outputs()
+        print(
+            json.dumps(
+                {
+                    "ok": True,
+                    "epochs": stats.epochs,
+                    "scheduled": stats.scheduled,
+                    "docs": docs.count(),
+                    "assets": assets.count(),
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -73,10 +73,14 @@ def valid_ts_col(ts: Column) -> Column:
 def page_dir_parts_col(url: Column) -> Column:
     """X5 (file_handler.py:62-96): array of sanitized directory parts.
 
-    Uses url_decode for percent-unquoting (reference uses
+    Uses try_url_decode for percent-unquoting (reference uses
     urllib.unquote; fixtures contain no '+', where the two differ).
+    A path with an invalid %-escape falls back to its raw form —
+    urllib.unquote instead leaves only the invalid escape raw; the
+    divergence is confined to malformed-escape URLs (documented gap).
     """
-    path = F.url_decode(url_path_col(url))
+    raw_path = url_path_col(url)
+    path = F.coalesce(F.try_url_decode(raw_path), raw_path)
     full_path = F.regexp_replace(path, "^/+|/+$", "")
     segments = F.filter(F.split(full_path, "/"), lambda x: F.length(x) > 0)
     is_dir_url = url.endswith("/") | (F.length(full_path) == 0)
@@ -97,7 +101,8 @@ def page_dir_col(url: Column, output_dir: str = "output") -> Column:
 
 def is_root_path_col(url: Column) -> Column:
     """file_handler.py:113,120: no non-empty path segments."""
-    path = F.url_decode(url_path_col(url))
+    raw_path = url_path_col(url)
+    path = F.coalesce(F.try_url_decode(raw_path), raw_path)
     full_path = F.regexp_replace(path, "^/+|/+$", "")
     return F.length(full_path) == 0
 

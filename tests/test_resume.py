@@ -13,7 +13,7 @@ from web_archive_downloader_spark.plans.crawl import (
 from web_archive_downloader_spark.sources.cdx import cdx_dataframe
 from web_archive_downloader_spark.sources.state import StateStore
 
-N = 80
+N = 60
 
 
 def _run_full(spark, store_dir, cfg, raw):
@@ -38,7 +38,7 @@ def _snapshot(store, docs, assets):
 
 def test_kill_and_resume_identical(spark, tmp_path):
     raw = gen_cdx_records(n_urls=N, seed=11)
-    cfg = default_config(epoch_seconds=15.0)  # small budget -> many epochs
+    cfg = default_config(epoch_seconds=25.0)  # small budget -> several epochs
 
     store, plan, docs, assets = _run_full(spark, str(tmp_path / "a"), cfg, raw)
     full = _snapshot(store, docs, assets)

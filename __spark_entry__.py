@@ -292,6 +292,75 @@ def _q_embedding_neardup(spark, sf):
     return embedding_neardup(_t(spark, sf, "embeddings"), threshold=0.45)
 
 
+def _q_top_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"), F.count("*").alias("n_orders"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def _q_order_priority_counts(spark, sf):
+    """TPC-H Q4 shape: orders with at least one late lineitem (EXISTS
+    -> left semi join), counted by priority."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = li.select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_part_type_stats(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+    )
+
+
+def _q_supplier_balance_by_region(spark, sf):
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+def _q_rollup_revenue(spark, sf):
+    """Grouping-sets coverage: rollup over (returnflag, linestatus)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "rev", "n",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "latest_event_per_user": _q_latest_event_per_user,
@@ -320,6 +389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "windowed_rates": _q_windowed_rates,
         "embedding_neardup": _q_embedding_neardup,
+        "top_customers": _q_top_customers,
+        "order_priority_counts": _q_order_priority_counts,
+        "part_type_stats": _q_part_type_stats,
+        "supplier_balance_by_region": _q_supplier_balance_by_region,
+        "rollup_revenue": _q_rollup_revenue,
     }
 
 
@@ -596,6 +670,45 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, total_spend, n_orders, rn AS rank
+            FROM (
+              SELECT c.c_custkey, c.c_name, t.total_spend, t.n_orders,
+                     row_number() OVER (ORDER BY t.total_spend DESC, c.c_custkey) AS rn
+              FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                           count(*) AS n_orders
+                    FROM orders GROUP BY o_custkey) t
+              JOIN customer c ON t.o_custkey = c.c_custkey
+            ) WHERE rn <= 10
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            GROUP BY o_orderpriority
+        """,
+        "part_type_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price,
+                   max(p_size) AS max_size,
+                   count(DISTINCT p_type) AS n_types
+            FROM part GROUP BY p_brand
+        """,
+        "supplier_balance_by_region": """
+            SELECT r_name, round(sum(s_acctbal), 2) AS total_bal,
+                   count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "text_stats": f"""
             SELECT doc_id,

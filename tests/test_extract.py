@@ -1,0 +1,122 @@
+"""Extraction kernel unit tables, ported from the reference's
+parametrized suites (/root/reference/tests/test_html_processor.py:
+title lattice :18-27, selector search :45-57, conversion :84-91,
+asset discovery :133-169, rewrite :213-321) against our kernels."""
+
+import pytest
+
+from web_archive_downloader_spark.config import EngineConfig
+from web_archive_downloader_spark.content.extract import (
+    extract_and_convert_content,
+    find_assets,
+    html_to_markdown,
+)
+
+CFG = EngineConfig(target_domain="example.com")
+URL = "https://example.com/blog/my-post"
+
+
+# --- title lattice (test_html_processor.py:18-27) ---
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        ("<html><head><title>Test Title</title></head><body></body></html>", "Test Title"),
+        ("<html><head><title>  Padded  </title></head><body></body></html>", "Padded"),
+        ("<html><body><h1>H1 Title</h1></body></html>", "H1 Title"),
+        ("<html><head><title></title></head><body><h1>H1 Fallback</h1></body></html>", "H1 Fallback"),
+        ("<html><body><p>no title here</p></body></html>", "My post"),  # URL fallback
+    ],
+)
+def test_title_lattice(html, expected):
+    title, _ = extract_and_convert_content(html, URL, CFG)
+    assert title == expected
+
+
+def test_title_homepage_fallback():
+    title, _ = extract_and_convert_content(
+        "<html><body><p>x</p></body></html>", "https://example.com/", CFG
+    )
+    assert title == "Homepage"
+
+
+# --- selector search order (test_html_processor.py:45-57; config.json:4-11) ---
+def test_selector_priority_order():
+    html = (
+        "<html><body><main>main content</main>"
+        '<div id="content">id content</div></body></html>'
+    )
+    _, md = extract_and_convert_content(html, URL, CFG)
+    assert "id content" in md and "main content" not in md  # '#content' first
+
+
+def test_selector_falls_through_to_body():
+    html = "<html><body><p>body only</p></body></html>"
+    _, md = extract_and_convert_content(html, URL, CFG)
+    assert "body only" in md
+
+
+def test_no_match_returns_title_only():
+    cfg = CFG.with_(content_selectors=("#nope",))
+    title, md = extract_and_convert_content(
+        "<html><head><title>T</title></head><body><p>x</p></body></html>", URL, cfg
+    )
+    assert title == "T" and md is None  # html_processor.py:218-220
+
+
+# --- conversion features (test_html_processor.py:84-91) ---
+def test_markdown_features():
+    md = html_to_markdown(
+        "<h2>Head</h2><p>Text with <strong>bold</strong> and "
+        '<a href="/l">link</a>.</p><ul><li>a</li><li>b</li></ul>'
+    )
+    assert "## Head" in md
+    assert "**bold**" in md
+    assert "[link](/l)" in md
+    assert "  * a" in md and "  * b" in md
+
+
+def test_markdown_empty_is_none():
+    assert html_to_markdown("") is None
+    assert html_to_markdown("<div>   </div>") is None
+
+
+# --- asset discovery edges (test_html_processor.py:133-169) ---
+def test_assets_relative_absolute_and_filters():
+    html = (
+        '<script src="/j/a.js"></script>'
+        '<script src="https://example.com/j/b.js"></script>'
+        '<script src="https://other.com/j/c.js"></script>'  # cross-domain: drop
+        '<script src=""></script>'  # empty: drop
+        '<link rel="stylesheet" href="s/c.css">'
+        '<link rel="icon" href="/fav.ico">'  # wrong rel: drop
+        '<img src="/i/p.png"><img src="data:image/gif;base64,AA==">'  # data URI: drop
+    )
+    found = find_assets(html, URL, CFG)
+    assert found["js"] == [
+        "https://example.com/j/a.js",
+        "https://example.com/j/b.js",
+    ]
+    assert found["css"] == ["https://example.com/blog/s/c.css"]  # urljoin vs page
+    assert found["img"] == ["https://example.com/i/p.png"]
+
+
+def test_assets_malformed_html_returns_partial():
+    html = '<script src="/a.js"></script><div><img src="/b.png"'
+    found = find_assets(html, URL, CFG)
+    assert found["js"] == ["https://example.com/a.js"]
+
+
+def test_assets_empty_html():
+    assert find_assets("", URL, CFG) == {"js": [], "css": [], "img": []}
+
+
+# --- rewrite (test_html_processor.py:213-321) ---
+def test_rewrite_hits_and_misses():
+    html = (
+        '<html><body><div id="content">'
+        '<img src="/i/p.png"><img src="/i/q.png"></div></body></html>'
+    )
+    saved = {"https://example.com/i/p.png": "output/blog/_assets/img/p.png"}
+    _, md = extract_and_convert_content(html, URL, CFG, saved)
+    assert "![](_assets/img/p.png)" in md  # rewritten, relative to page dir
+    assert "![](/i/q.png)" in md  # unsaved asset untouched

@@ -512,7 +512,14 @@ class CrawlPlan:
         """Deterministic post-crawl materialization: assign collision
         names, build per-page saved-asset maps, rewrite + convert to
         markdown. Returns (docs, assets) DataFrames. Idempotent —
-        resumable jobs recompute identical outputs (tested)."""
+        resumable jobs recompute identical outputs (tested).
+
+        NOTE: a page whose name assignment aborts at the collision
+        limit (file_handler.py:135-137 save_fail) is dropped here even
+        though its URL was provisionally committed to url_seen at
+        epoch time — use ``final_url_seen`` for the exported
+        checkpoint (the reference does not checkpoint failed saves,
+        main.py:161-166)."""
         cfg = self.config
         store = self.store
         docs_raw = store.read("docs_raw", DOCS_RAW_SCHEMA)
@@ -602,3 +609,15 @@ class CrawlPlan:
             ).alias("markdown"),
         )
         return docs, assets_named
+
+    def final_url_seen(self, docs: DataFrame) -> DataFrame:
+        """Reconciled URL-seen set (the exported checkpoint): epoch
+        url_seen minus URLs whose finalize dropped the doc (collision-
+        limit save_fail — not checkpointed by the reference). Exact
+        semi-join against the finalized docs."""
+        url_seen = self.store.read("url_seen", URL_SEEN_SCHEMA)
+        seeded = url_seen.filter(F.col("epoch") < 0)  # pre-seeded checkpoint rows
+        crawled = url_seen.filter(F.col("epoch") >= 0).join(
+            docs.select("url"), "url", "left_semi"
+        )
+        return seeded.unionByName(crawled)

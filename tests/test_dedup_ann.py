@@ -46,6 +46,27 @@ def test_lsh_ann_recall_on_similar_vectors(emb, spark):
     assert hits / len(qids) >= 0.9, f"planted-dup recall {hits}/{len(qids)}"
 
 
+def test_ivf_recall(emb, spark):
+    """IVF with n_probe=3/16 clusters must recover planted near-dups
+    and a solid share of true neighbors (probed clusters cover the
+    query's own neighborhood by construction)."""
+    from web_archive_downloader_spark.operators.ann import ivf_topk
+
+    base = emb.limit(10).collect()
+    planted = [
+        (r.vec_id + 100000, [x * 0.97 + 0.01 for x in r.embedding], r.label) for r in base
+    ]
+    both = emb.unionByName(spark.createDataFrame(planted, emb.schema))
+    qids = [r.vec_id for r in base]
+    got = {(r.query_id, r.neighbor_id) for r in ivf_topk(both, qids, k=10).collect()}
+    hits = sum(1 for q in qids if (q, q + 100000) in got)
+    assert hits / len(qids) >= 0.9
+
+    ex = {(r.query_id, r.neighbor_id) for r in brute_force_topk(both, qids, k=10).collect()}
+    recall = len(ex & got) / len(ex)
+    assert recall >= 0.4
+
+
 def test_lsh_ann_moderate_recall_vs_bruteforce(emb):
     """Even on near-random vectors the multi-table variant should
     recover a meaningful fraction of the true top-10."""

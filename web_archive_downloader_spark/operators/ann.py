@@ -56,6 +56,70 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus with
+    KMeans (pyspark.ml, seeded — deterministic), then search only the
+    ``n_probe`` clusters whose centroids are nearest each query.
+
+    Scale shape: the centroid table (n_clusters × dim) is tiny and
+    broadcast; corpus rows carry their cluster id from a single
+    pass (the fitted model's transform), so the probe is an equi-join
+    on cluster id — the classic IVF list-scan, shuffle-free on the
+    corpus side. Same output schema as brute_force_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(e)
+    assigned = model.transform(e).select(
+        "vec_id", "v", F.col("prediction").alias("cluster")
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    q = assigned.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # nearest n_probe centroids per query: tiny cross product, JVM-side
+    dists = []
+    for ci, center in enumerate(centers):
+        lit_c = F.array(*[F.lit(float(x)) for x in center])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cluster")))
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(F.slice(F.array_sort(F.array(*dists)), 1, n_probe)).alias("p"),
+    ).select("query_id", "qv", F.col("p.cluster").alias("qc"))
+
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cluster") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -96,6 +96,36 @@ def test_dom_reparse_markdown_invariance(items):
     assert once == twice
 
 
+def test_asset_base_ext_random_batch(spark):
+    """Catalyst X6 twin == posixpath-based kernel on adversarial asset
+    URLs (dots, hidden names, empty basenames, %-escapes)."""
+    from web_archive_downloader_spark.content.paths import asset_base_and_ext
+    from web_archive_downloader_spark.functions.scalar import asset_base_ext_cols
+
+    rng = random.Random(23)
+    urls = [
+        "https://ex.com/a/logo.png",
+        "https://ex.com/a/archive.tar.gz",
+        "https://ex.com/a/.hidden",
+        "https://ex.com/a/..x",
+        "https://ex.com/a/a..b",
+        "https://ex.com/a/noext",
+        "https://ex.com/a/",
+        "https://ex.com/",
+        "https://ex.com/a/sp%20ace.js",
+        "https://ex.com/a/dots...",
+    ]
+    toks = list(string.ascii_lowercase) + [".", "-", "_", "%20"]
+    for _ in range(150):
+        name = "".join(rng.choice(toks) for _ in range(rng.randint(0, 10)))
+        urls.append(f"https://ex.com/p/{name}")
+    df = spark.createDataFrame(pd.DataFrame({"u": urls}))
+    b, e = asset_base_ext_cols(F.col("u"))
+    rows = df.select(b.alias("b"), e.alias("e")).collect()
+    for url, r in zip(urls, rows):
+        assert (r.b, r.e) == asset_base_and_ext(url), url
+
+
 def test_collision_replay_random_vs_oracle_fs(spark):
     """Distributed name assignment == sequential FakeFS replay on a
     random stream of colliding names across styles."""

@@ -146,6 +146,33 @@ def route_col(outcome: Column, attempt: Column, max_retries: int) -> Column:
     )
 
 
+def asset_base_ext_cols(asset_url: Column) -> tuple[Column, Column]:
+    """X6 — asset filename derivation (file_handler.py:238-248) as
+    pure expressions: basename of the unquoted path; empty ->
+    ``asset_{xxhash64(url)}.bin`` (reference uses process-seeded
+    hash(); spec canonicalizes to xxhash64, SURVEY §7); splitext with
+    os.path semantics (a leading dot alone is not an extension);
+    sanitize; empty/ext-only -> 'downloaded_asset' with no ext.
+    Returns (base, ext) columns."""
+    raw_path = url_path_col(asset_url)
+    path = F.coalesce(F.try_url_decode(raw_path), raw_path)
+    raw_name = F.element_at(F.split(path, "/"), -1)
+    fallback = F.concat(F.lit("asset_"), F.xxhash64(asset_url).cast("string"), F.lit(".bin"))
+    name = F.when(F.length(raw_name) == 0, fallback).otherwise(raw_name)
+    # splitext semantics: extension = last '.' group, valid only if
+    # the part before it contains a non-dot char (so '.hidden' and
+    # '..x' have no extension, 'a..b' -> ('a.', '.b'))
+    cand = F.regexp_extract(name, "(\\.[^.]*)$", 1)
+    prefix = F.substring(name, 1, F.length(name) - F.length(cand))
+    ext = F.when(prefix.rlike("[^.]"), cand).otherwise(F.lit(""))
+    base = F.substring(name, 1, F.length(name) - F.length(ext))
+    safe = sanitize_filename_col(base)
+    degenerate = (F.length(safe) == 0) | (F.concat(safe, ext) == ext)
+    out_base = F.when(degenerate, F.lit("downloaded_asset")).otherwise(safe)
+    out_ext = F.when(degenerate, F.lit("")).otherwise(ext)
+    return out_base, out_ext
+
+
 def asset_kind_rank_col(kind: Column) -> Column:
     """Stage order of asset processing (main.py:104-107): js, css, img."""
     return F.when(kind == "js", 0).when(kind == "css", 1).otherwise(2)

@@ -525,33 +525,23 @@ class CrawlPlan:
         docs_raw = store.read("docs_raw", DOCS_RAW_SCHEMA)
         assets_raw = store.read("assets_raw", ASSETS_RAW_SCHEMA)
 
-        from ..content.paths import asset_base_and_ext
+        from ..functions.scalar import asset_base_ext_cols
 
-        # asset name inputs: dir/base/ext via pandas udf (urlparse logic)
-        @F.pandas_udf(
-            T.StructType(
-                [T.StructField("base", T.StringType()), T.StructField("ext", T.StringType())]
-            )
-        )
-        def base_ext_udf(urls: pd.Series) -> pd.DataFrame:
-            pairs = [asset_base_and_ext(u) for u in urls]
-            return pd.DataFrame({"base": [p[0] for p in pairs], "ext": [p[1] for p in pairs]})
-
+        # X6 asset name inputs as pure Catalyst expressions (parity
+        # with the oracle's python kernel is property-tested)
+        base_col, ext_col = asset_base_ext_cols(F.col("asset_url"))
         kind_dir = F.when(F.col("kind") == "js", "js").when(F.col("kind") == "css", "css").when(F.col("kind") == "img", "img").otherwise("_unknown")
-        asset_saves = (
-            assets_raw.withColumn("be", base_ext_udf(F.col("asset_url")))
-            .select(
-                F.concat(
-                    page_dir_col(F.col("page_url"), cfg.output_dir),
-                    F.lit("/_assets/"), kind_dir,
-                ).alias("dir"),
-                F.col("be.base").alias("base"),
-                F.col("be.ext").alias("ext"),
-                F.lit("asset").alias("style"),
-                (F.col("seq") * (1 << _POS_BITS) + F.col("asset_pos")).alias("save_seq"),
-                F.col("page_url").alias("url"),
-                "asset_url", "kind", "nbytes", "seq",
-            )
+        asset_saves = assets_raw.select(
+            F.concat(
+                page_dir_col(F.col("page_url"), cfg.output_dir),
+                F.lit("/_assets/"), kind_dir,
+            ).alias("dir"),
+            base_col.alias("base"),
+            ext_col.alias("ext"),
+            F.lit("asset").alias("style"),
+            (F.col("seq") * (1 << _POS_BITS) + F.col("asset_pos")).alias("save_seq"),
+            F.col("page_url").alias("url"),
+            "asset_url", "kind", "nbytes", "seq",
         )
         doc_saves = docs_raw.select(
             page_dir_col(F.col("url"), cfg.output_dir).alias("dir"),

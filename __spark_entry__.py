@@ -399,11 +399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------- oracle SQL
 
-_SANITIZE_SQL = """
-CASE WHEN length({x}) = 0 THEN 'untitled' ELSE {x} END
-""".strip()
-
-
 def _sanitize_expr(inner: str) -> str:
     """DuckDB twin of sanitize_filename_col (step order preserved)."""
     s = f"regexp_replace({inner}, '[\\\\/*?:''\"<>|]', '', 'g')"

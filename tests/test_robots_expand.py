@@ -57,7 +57,7 @@ def test_robots_budgets_and_refresh(spark):
 
 
 def test_crawl_with_robots_matches_oracle(spark, tmp_path):
-    raw = gen_cdx_records(n_urls=80, seed=21)
+    raw = gen_cdx_records(n_urls=60, seed=21)
     cfg = default_config(epoch_seconds=60.0, respect_robots=True)
 
     # fixture robots rules over the target host
@@ -96,7 +96,7 @@ def test_crawl_with_robots_matches_oracle(spark, tmp_path):
 
 
 def test_link_expansion_deterministic(spark, tmp_path):
-    raw = gen_cdx_records(n_urls=30, seed=33)
+    raw = gen_cdx_records(n_urls=24, seed=33)
     cfg = default_config(epoch_seconds=120.0, expand_links=True, max_depth=1)
 
     def run(path):

@@ -64,10 +64,15 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     errors = latest.filter(F.col("event_type") == "error").select("user_id")
     ok = latest.join(errors, "user_id", "left_anti")
+    # global top-k via orderBy().limit(k): Spark plans
+    # TakeOrderedAndProject (per-partition top-k + driver merge), not a
+    # single-partition global sort window. Rank is attached AFTER the
+    # limit, so the window runs over k rows, not the whole table.
     w2 = Window.orderBy(F.desc("value"), F.asc("user_id"))
     return (
-        ok.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= 16)
+        ok.orderBy(F.desc("value"), F.asc("user_id"))
+        .limit(16)
+        .withColumn("rank", F.row_number().over(w2))
         .select("user_id", "event_id", "event_type", "value", "rank")
     )
 
@@ -286,34 +291,45 @@ def _q_windowed_rates(spark, sf):
     return windowed_event_rates(_t(spark, sf, "events"))
 
 
-def _q_embedding_neardup(spark, sf):
-    from web_archive_downloader_spark.operators.dedup import embedding_neardup
+def _q_embedding_neardup_lsh(spark, sf):
+    """The CHECKED near-dup path is the sign-LSH-blocked one (no
+    cartesian); the exact O(n^2) variant survives only as a recall
+    reference in tests/test_dedup_ann.py."""
+    from web_archive_downloader_spark.operators.dedup import embedding_neardup_lsh
 
-    return embedding_neardup(_t(spark, sf, "embeddings"), threshold=0.45)
+    return embedding_neardup_lsh(_t(spark, sf, "embeddings"), threshold=0.45)
 
 
 def _q_top_customers(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
+    # orderBy().limit(k) -> TakeOrderedAndProject (distributed top-k),
+    # never a single-partition global sort; rank attached post-limit
+    # over only k rows.
     w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
     return (
         o.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"), F.count("*").alias("n_orders"))
         .join(c, F.col("o_custkey") == c.c_custkey)
         .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
     )
 
 
 def _q_order_priority_counts(spark, sf):
-    """TPC-H Q4 shape: orders with at least one late lineitem (EXISTS
-    -> left semi join), counted by priority."""
+    """TPC-H Q4 shape: orders with at least one QUALIFYING lineitem
+    (EXISTS -> left semi join), counted by priority. The testdata
+    lineitem table has no commitdate/receiptdate, so the Q4 lateness
+    predicate is stood in by a selective quantity predicate
+    (l_quantity >= 45, ~12% of rows) — the semi-join genuinely
+    filters rather than matching every order."""
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
-    late = li.select("l_orderkey").distinct()
+    qualifying = li.filter(F.col("l_quantity") >= 45).select("l_orderkey")
     return (
-        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        o.join(qualifying, o.o_orderkey == qualifying.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
@@ -388,7 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_header": _q_markdown_header,
         "json_extract": _q_json_extract,
         "windowed_rates": _q_windowed_rates,
-        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "top_customers": _q_top_customers,
         "order_priority_counts": _q_order_priority_counts,
         "part_type_stats": _q_part_type_stats,
@@ -459,6 +475,54 @@ cands AS (
 
 
 _TOKSET = "list_distinct(list_filter(string_split_regex(trim({t}), '\\s+'), x -> length(x) > 0))"
+
+
+def _neardup_lsh_sql(threshold: float = 0.45) -> str:
+    """DuckDB twin of embedding_neardup_lsh: the SAME seeded
+    hyperplanes as literal DOUBLE[] rows; the dot-product fold is
+    list_reduce over list_transform in index order — identical
+    left-to-right double arithmetic to Spark's F.aggregate(zip_with),
+    so bucket signs match bit-for-bit and the candidate sets are
+    identical."""
+    from web_archive_downloader_spark.operators.dedup import (
+        NEARDUP_DIM,
+        neardup_hyperplanes,
+    )
+
+    rows = []
+    for t, planes in enumerate(neardup_hyperplanes()):
+        for p, plane in enumerate(planes):
+            vals = ", ".join(repr(x) for x in plane)
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+        WITH planes(tbl, pl, w) AS (VALUES {values}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, p.tbl, p.pl,
+                 list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                     list_transform(range(1, {NEARDUP_DIM + 1}), i -> e.v[i] * p.w[i])),
+                   (a, b) -> a + b) AS dot
+          FROM e CROSS JOIN planes p
+        ),
+        buckets AS (
+          SELECT vec_id, tbl,
+                 sum(CASE WHEN dot > 0 THEN (1::BIGINT << pl) ELSE 0 END)::BIGINT AS b
+          FROM dots GROUP BY vec_id, tbl
+        ),
+        cands AS (
+          SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+          FROM buckets l JOIN buckets r
+            ON l.tbl = r.tbl AND l.b = r.b AND l.vec_id < r.vec_id
+        )
+        SELECT vec_a, vec_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        FROM cands
+        JOIN e a ON a.vec_id = vec_a
+        JOIN e b ON b.vec_id = vec_b
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -658,14 +722,7 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        "embedding_neardup": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
-        """,
+        "embedding_neardup_lsh": _neardup_lsh_sql(0.45),
         "top_customers": """
             SELECT c_custkey, c_name, total_spend, n_orders, rn AS rank
             FROM (
@@ -680,7 +737,9 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": """
             SELECT o_orderpriority, count(*) AS n
             FROM orders o
-            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity >= 45)
             GROUP BY o_orderpriority
         """,
         "part_type_stats": """

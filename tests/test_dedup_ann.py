@@ -173,3 +173,22 @@ def test_embedding_neardup_finds_planted_dup(emb, spark):
     got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
     for i in range(5):
         assert (i, i + 100000) in got
+
+
+def test_embedding_neardup_lsh_vs_exact(emb, spark):
+    """The blocked (checked) path vs the exact all-pairs reference:
+    exact duplicates collide in EVERY table (identical sign buckets),
+    so recall on planted dups is 1.0; every emitted pair must also
+    appear in the exact result with the same cosine (precision 1.0)."""
+    from web_archive_downloader_spark.operators.dedup import embedding_neardup_lsh
+
+    planted = emb.limit(8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(planted)
+    lsh = {(r.vec_a, r.vec_b): r.cos for r in embedding_neardup_lsh(both, threshold=0.999).collect()}
+    exact = {(r.vec_a, r.vec_b): r.cos for r in embedding_neardup(both, threshold=0.999).collect()}
+    for i in range(8):
+        assert (i, i + 100000) in lsh  # identical vectors never miss
+    for pair, cos in lsh.items():
+        assert exact.get(pair) == cos  # blocked pairs are a subset with exact cosines

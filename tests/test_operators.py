@@ -10,6 +10,8 @@ from web_archive_downloader_spark.operators.seen import (
     BloomSketch,
     anti_join_unseen,
     build_bloom_sketches,
+    hash_urls,
+    merge_sketches,
     unseen_with_bloom,
 )
 
@@ -73,13 +75,41 @@ def test_collision_limit_aborts(spark):
 
 
 def test_bloom_no_false_negatives_and_low_fpr():
-    seen = pd.Series([f"https://e.com/p{i}" for i in range(5000)])
+    seen = hash_urls([f"https://e.com/p{i}" for i in range(5000)])
     sk = BloomSketch.sized_for(5000, 0.01)
     sk.add_many(seen)
     assert sk.might_contain(seen).all()
-    fresh = pd.Series([f"https://e.com/new{i}" for i in range(5000)])
+    fresh = hash_urls([f"https://e.com/new{i}" for i in range(5000)])
     fpr = sk.might_contain(fresh).mean()
     assert fpr < 0.03
+
+
+def test_bloom_mixed_geometry_merge():
+    # Epochs committing >expected URLs into one pid produce sketches
+    # of DIFFERENT capacity for that pid — the merge must not raise
+    # and must keep the no-false-negative guarantee across all of them.
+    a_urls = hash_urls([f"https://e.com/a{i}" for i in range(50)])
+    b_urls = hash_urls([f"https://e.com/b{i}" for i in range(9000)])
+    small = BloomSketch.sized_for(64)
+    small.add_many(a_urls)
+    big = BloomSketch.sized_for(9000)
+    big.add_many(b_urls)
+    assert small.n_bits != big.n_bits
+    merged = merge_sketches([(3, small.to_bytes()), (3, big.to_bytes())])
+    sks = [BloomSketch.from_bytes(b) for b in merged[3]]
+    assert len(sks) == 2
+    import numpy as np
+
+    for urls in (a_urls, b_urls):
+        hit = np.zeros(len(urls), bool)
+        for sk in sks:
+            hit |= sk.might_contain(urls)
+        assert hit.all()
+    # equal-geometry sketches collapse into one
+    s2 = BloomSketch.sized_for(64)
+    s2.add_many(b_urls[:50])
+    merged2 = merge_sketches([(1, small.to_bytes()), (1, s2.to_bytes())])
+    assert len(merged2[1]) == 1
 
 
 def test_unseen_with_bloom_exact(spark):

@@ -61,3 +61,26 @@ def test_ann_query_broadcasts(spark):
     q = entry_mod.queries()["ann_bruteforce"](spark, SF)
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_neardup_lsh_no_cartesian(spark):
+    """The CHECKED near-dup path must be bucket-blocked: candidate
+    pairs form via an equi-join on (table, bucket) — never a
+    cartesian/BNLJ over the corpus."""
+    q = entry_mod.queries()["embedding_neardup_lsh"](spark, SF)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_global_topk_is_take_ordered(spark):
+    """Global top-k must compile to TakeOrderedAndProject
+    (per-partition top-k + merge), not a single-partition global
+    sort window."""
+    for name in ("top_customers",):
+        q = entry_mod.queries()[name](spark, SF)
+        plan = _plan(q)
+        assert "TakeOrderedAndProject" in plan, name
+    plan = _plan(entry_mod.entry(spark))
+    assert "TakeOrderedAndProject" in plan

@@ -288,9 +288,12 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> 
 
 
 def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicates. Exact O(n^2) variant for
-    verification; production path blocks by random-hyperplane sign
-    buckets first (see ann.lsh_bucketed_topk). Returns
+    """Embedding-cosine near-duplicates, EXACT all-pairs variant.
+
+    TEST/RECALL REFERENCE ONLY — this is a cartesian
+    (BroadcastNestedLoopJoin) and must never run at scale. The
+    production and oracle-checked path is ``embedding_neardup_lsh``
+    below, whose candidates are sign-LSH-bucketed. Returns
     (vec_a, vec_b, cos) with cos >= threshold, vec_a < vec_b."""
     from .ann import cosine_expr
 
@@ -302,6 +305,87 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95) -> DataFra
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# Sign-LSH geometry for the blocked near-dup path. The hyperplanes are
+# deterministic seeded Gaussians, so the DuckDB oracle twin reproduces
+# them as literal DOUBLE[] VALUES and enumerates the IDENTICAL
+# candidate set (both engines fold the dot product strictly
+# left-to-right over the same doubles, so even the sign of a
+# borderline dot agrees bit-for-bit).
+NEARDUP_DIM = 64
+NEARDUP_TABLES = 8
+NEARDUP_PLANES = 5
+
+
+def neardup_hyperplanes(
+    dim: int = NEARDUP_DIM,
+    n_tables: int = NEARDUP_TABLES,
+    n_planes: int = NEARDUP_PLANES,
+) -> list[list[list[float]]]:
+    """Per-table hyperplane sets, same seeding scheme as
+    ann.lsh_bucketed_topk (seed = 42 + 1000*t)."""
+    from .ann import _hyperplanes
+
+    return [_hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_tables: int = NEARDUP_TABLES,
+    n_planes: int = NEARDUP_PLANES,
+    dim: int = NEARDUP_DIM,
+) -> DataFrame:
+    """Embedding near-dup with sign-LSH-blocked candidate generation —
+    the scale path (and the oracle-checked query).
+
+    Plan shape: bucket ids are pure Catalyst expressions in the scan
+    projection (one row per (vec, table) after a single explode);
+    candidate pairs form via an equi-join on (table, bucket) — pair
+    count is quadratic only within a bucket (n/2^n_planes expected
+    occupancy), NEVER in the corpus; distinct pair ids are then
+    joined back to fetch vectors for the exact cosine. No cartesian /
+    BNLJ anywhere (asserted in tests/test_plan_shapes.py).
+
+    Recall is the standard multi-table union bound: a pair at angle t
+    collides in one table with prob (1 - t/pi)^n_planes; misses decay
+    exponentially in n_tables (recall-tested vs the exact variant on
+    planted near-dups). Candidates that DO surface get the exact
+    cosine, so precision is 1.0 vs the exact variant."""
+    from .ann import cosine_expr, sign_bucket_col
+
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    tables = neardup_hyperplanes(dim, n_tables, n_planes)
+    buckets = [
+        F.struct(F.lit(t).alias("tbl"), sign_bucket_col(F.col("v"), planes).alias("b"))
+        for t, planes in enumerate(tables)
+    ]
+    eb = e.select("vec_id", F.explode(F.array(*buckets)).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.b").alias("b")
+    )
+    l, r = eb.alias("l"), eb.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

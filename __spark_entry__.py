@@ -173,6 +173,32 @@ def _q_collision_names(spark, sf):
     )
 
 
+def _q_html_names(spark, sf):
+    """SNK2 naming: every doc saves BOTH a .md and a .html file with
+    the same (dir, base) — the collision namespaces must stay
+    independent per extension (the reference's exists-probe includes
+    the extension, file_handler.py:180-188), so each ext gets its own
+    -N counter sequence."""
+    d = _t(spark, sf, "documents")
+    md = d.select(
+        F.col("source").alias("dir"),
+        F.col("lang").alias("base"),
+        F.lit(".md").alias("ext"),
+        F.lit("page").alias("style"),
+        (F.col("doc_id") * 2).alias("save_seq"),
+    )
+    html = d.select(
+        F.col("source").alias("dir"),
+        F.col("lang").alias("base"),
+        F.lit(".html").alias("ext"),
+        F.lit("page").alias("style"),
+        (F.col("doc_id") * 2 + 1).alias("save_seq"),
+    )
+    return assign_collision_names(md.unionByName(html)).select(
+        "save_seq", "dir", "ext", "filename"
+    )
+
+
 def _q_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -285,6 +311,49 @@ def _q_json_extract(spark, sf):
     )
 
 
+def _q_memento_nav(spark, sf):
+    """SRC4/X9: nested-JSON navigation of a Memento TimeTravel
+    response — from_json with a nested struct/array schema, select
+    mementos.closest.uri[0], reject web.archive.org hosts (the loop
+    guard, memento_client.py:45-61). Four response shapes per doc_id
+    mod 4: valid mirror URI / archive.org URI (loop) / missing
+    'closest' key / absent body."""
+    from web_archive_downloader_spark.sources.fetch_shim import (
+        MEMENTO_RESPONSE_SCHEMA,
+    )
+
+    d = _t(spark, sf, "documents")
+    orig = F.concat(
+        F.lit("https://ex.com/"), F.col("source"), F.lit("/item-"),
+        F.col("doc_id").cast("string"),
+    )
+    mirror = F.concat(
+        F.lit('{"mementos":{"closest":{"datetime":"20240101000000","uri":["https://memento.mirror.example.net/'),
+        (F.col("doc_id") % 99999).cast("string"), F.lit("/"), orig, F.lit('"]}}}'),
+    )
+    archive = F.concat(
+        F.lit('{"mementos":{"closest":{"datetime":"20240101000000","uri":["https://web.archive.org/web/20240101000000/'),
+        orig, F.lit('"]}}}'),
+    )
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, mirror)
+        .when(F.col("doc_id") % 4 == 1, archive)
+        .when(F.col("doc_id") % 4 == 2, F.lit('{"mementos":{"first":{"uri":[]}}}'))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    parsed = d.select("doc_id", F.from_json(raw, MEMENTO_RESPONSE_SCHEMA).alias("m"))
+    uri0 = F.col("m").getField("mementos").getField("closest").getField("uri").getItem(0)
+    host = F.coalesce(F.parse_url(uri0, F.lit("HOST")), F.lit(""))
+    return parsed.select(
+        "doc_id",
+        F.when(uri0.isNotNull() & ~host.contains("web.archive.org"), uri0).alias("memento_uri"),
+        F.when(uri0.isNull(), F.lit("none"))
+        .when(host.contains("web.archive.org"), F.lit("loop"))
+        .otherwise(F.lit("found"))
+        .alias("lookup_result"),
+    )
+
+
 def _q_windowed_rates(spark, sf):
     from web_archive_downloader_spark.streaming.events import windowed_event_rates
 
@@ -388,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_fallback": _q_title_fallback,
         "ts_format": _q_ts_format,
         "collision_names": _q_collision_names,
+        "html_names": _q_html_names,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
@@ -403,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parts": _q_url_parts,
         "markdown_header": _q_markdown_header,
         "json_extract": _q_json_extract,
+        "memento_nav": _q_memento_nav,
         "windowed_rates": _q_windowed_rates,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "top_customers": _q_top_customers,
@@ -604,6 +675,18 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
                   FROM documents)
         """,
+        "html_names": """
+            SELECT save_seq, dir, ext,
+                   CASE WHEN rn = 1 THEN base || ext
+                        ELSE base || '-' || (rn - 1) || ext END AS filename
+            FROM (SELECT save_seq, dir, base, ext,
+                         row_number() OVER (PARTITION BY dir, base, ext
+                                            ORDER BY save_seq) AS rn
+                  FROM (SELECT doc_id * 2 AS save_seq, source AS dir,
+                               lang AS base, '.md' AS ext FROM documents
+                        UNION ALL
+                        SELECT doc_id * 2 + 1, source, lang, '.html' FROM documents))
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -716,6 +799,35 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT event_id, json_extract_string(props, '$.k')::INT AS k
             FROM events
+        """,
+        "memento_nav": """
+            WITH raw AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 4 = 0 THEN
+                         '{"mementos":{"closest":{"datetime":"20240101000000","uri":["https://memento.mirror.example.net/'
+                         || (doc_id % 99999) || '/https://ex.com/' || source || '/item-' || doc_id || '"]}}}'
+                       WHEN doc_id % 4 = 1 THEN
+                         '{"mementos":{"closest":{"datetime":"20240101000000","uri":["https://web.archive.org/web/20240101000000/https://ex.com/'
+                         || source || '/item-' || doc_id || '"]}}}'
+                       WHEN doc_id % 4 = 2 THEN '{"mementos":{"first":{"uri":[]}}}'
+                       ELSE NULL
+                     END AS body
+              FROM documents
+            ),
+            nav AS (
+              SELECT doc_id,
+                     json_extract_string(body, '$.mementos.closest.uri[0]') AS uri0
+              FROM raw
+            )
+            SELECT doc_id,
+                   CASE WHEN uri0 IS NOT NULL
+                             AND NOT contains(coalesce(regexp_extract(uri0, '^[a-z]+://([^/]+)', 1), ''), 'web.archive.org')
+                        THEN uri0 END AS memento_uri,
+                   CASE WHEN uri0 IS NULL THEN 'none'
+                        WHEN contains(coalesce(regexp_extract(uri0, '^[a-z]+://([^/]+)', 1), ''), 'web.archive.org') THEN 'loop'
+                        ELSE 'found' END AS lookup_result
+            FROM nav
         """,
         "windowed_rates": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

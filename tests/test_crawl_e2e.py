@@ -64,6 +64,33 @@ def test_docs_byte_equal(crawl_result):
     assert not mismatches, f"{len(mismatches)} doc mismatches; first: {next(iter(mismatches.items()))}"
 
 
+def test_html_sink_byte_equal(crawl_result):
+    """SNK2: the original-HTML output (html column + .html collision
+    names) must byte-match the reference's save_html behavior
+    (file_handler.py:156-201; gated on title only — md-fail pages
+    with a title still save html)."""
+    from web_archive_downloader_spark.plans.crawl import CrawlPlan
+    from web_archive_downloader_spark.datagen import default_config
+    from web_archive_downloader_spark.sources.state import StateStore
+
+    stats, store, _, _, oracle = crawl_result
+    cfg = default_config(epoch_seconds=60.0)
+    assert cfg.save_original_html
+    plan = CrawlPlan(store.spark, store, cfg)
+    htmls = plan.finalize_html()
+    got = {
+        r.url: (r.title, r.dir, r.filename, r.html, r.ts) for r in htmls.collect()
+    }
+    exp = {
+        h["url"]: (h["title"], h["dir"], h["filename"], h["html"], h["ts"])
+        for h in oracle.htmls
+    }
+    assert len(exp) > 0
+    assert set(got) == set(exp)
+    mismatches = {u: (got[u], exp[u]) for u in exp if got[u] != exp[u]}
+    assert not mismatches, f"{len(mismatches)} html mismatches; first: {next(iter(mismatches.items()))}"
+
+
 def test_assets_match(crawl_result):
     _, _, _, assets, oracle = crawl_result
     got = sorted(
@@ -94,6 +121,39 @@ def test_images_corpus_matches_oracle(crawl_result, spark):
     }
     assert len(exp) > 0
     assert got == exp
+
+
+def test_observe_metrics_match_processed(crawl_result, spark):
+    """SNK5/A3: the df.observe() epoch counters must reconcile with
+    the processed-table dispositions — same invariant the reference's
+    logged run counters satisfy (main.py:50-54,169-175)."""
+    import pyspark.sql.functions as F
+    from web_archive_downloader_spark.plans.crawl import METRICS_SCHEMA, PROCESSED_SCHEMA
+
+    stats, store, _, _, _ = crawl_result
+    metrics = {
+        (r.epoch, r.metric): r.value
+        for r in store.read("metrics", METRICS_SCHEMA).collect()
+    }
+    processed = store.read("processed", PROCESSED_SCHEMA)
+    per_epoch = {
+        (r.epoch, r.disposition): r.n
+        for r in processed.groupBy("epoch", "disposition").agg(F.count("*").alias("n")).collect()
+    }
+    epochs = sorted({e for (e, _) in metrics})
+    assert sum(metrics[(e, "scheduled")] for e in epochs) == stats.scheduled
+    for e in epochs:
+        # wayback extract successes == success_wayback dispositions
+        assert metrics[(e, "extract_ok")] == per_epoch.get((e, "success_wayback"), 0)
+        assert metrics[(e, "extract_fail")] == per_epoch.get((e, "extract_fail"), 0)
+        # every ok-routed fetch lands in exactly one of the two
+        assert metrics[(e, "fetched_ok")] == metrics[(e, "extract_ok")] + metrics[(e, "extract_fail")]
+        # every scheduled fetch is routed exactly once
+        assert metrics[(e, "fetched_total")] == metrics[(e, "scheduled")]
+        assert (
+            metrics[(e, "fetched_total")]
+            == metrics[(e, "fetched_ok")] + metrics[(e, "retry")] + metrics[(e, "dead_wayback")]
+        )
 
 
 def test_politeness_budget_respected(crawl_result, spark):

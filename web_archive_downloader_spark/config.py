@@ -86,6 +86,15 @@ class EngineConfig:
             raise ValueError("request_delay_seconds must be non-negative")
         if self.max_retries < 0:
             raise ValueError("max_retries must be a non-negative integer")
+        # The expansion seq packing (depth<<50 | parent_seq<<12 | pos,
+        # plans/crawl.py:_expand_links) only has headroom for parents
+        # at depth <= 1: a depth-2 parent's seq is already ~2^51, so a
+        # further shift would wrap int64 and corrupt crawl ordering.
+        if self.expand_links and self.max_depth > 2:
+            raise ValueError(
+                "expand_links supports max_depth <= 2 (seq packing headroom); "
+                f"got max_depth={self.max_depth}"
+            )
 
     @property
     def per_host_epoch_budget(self) -> int:
@@ -107,3 +116,90 @@ class EngineConfig:
 
     def with_(self, **kw) -> "EngineConfig":
         return replace(self, **kw)
+
+
+# Keys the reference's loader requires (config_loader.py:17-25); the
+# engine consumes the subset that affects plan semantics and carries
+# the rest through validation for parity.
+REQUIRED_CONFIG_KEYS = (
+    "target_domain",
+    "output_dir",
+    "content_selectors",
+    "request_delay_seconds",
+    "max_retries",
+    "user_agent",
+    "checkpoint_file",
+    "log_file",
+    "cdx_api_url",
+)
+
+_DEFAULTS = {
+    "download_js": False,
+    "download_css": False,
+    "download_images": False,
+    "save_original_html": False,
+    "rewrite_asset_links": True,
+    "asset_save_structure": "per_page",
+}
+
+
+def load_config_json(config_path: str) -> EngineConfig:
+    """SRC6: validated flat-JSON config load with reference-parity
+    semantics (config_loader.py:7-77, tests/test_config_loader.py):
+
+    - missing required keys -> ValueError naming every missing key;
+    - malformed JSON -> ValueError wrapping the decode error;
+    - missing file -> FileNotFoundError (propagated);
+    - ``request_delay_seconds`` must be a non-negative number,
+      ``max_retries`` a non-negative int (bool excluded);
+    - unknown ``asset_save_structure`` -> warning + 'per_page'
+      fallback (not an error);
+    - optional flags default per the reference loader.
+    """
+    import json
+    import sys
+
+    with open(config_path) as f:  # FileNotFoundError propagates
+        try:
+            raw = json.load(f)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"Error decoding JSON from config file '{config_path}': {e}"
+            ) from e
+
+    missing = [k for k in REQUIRED_CONFIG_KEYS if k not in raw]
+    if missing:
+        raise ValueError(
+            f"Config file '{config_path}' is missing required keys: {', '.join(missing)}"
+        )
+
+    merged = dict(_DEFAULTS)
+    merged.update(raw)
+
+    delay = merged["request_delay_seconds"]
+    if isinstance(delay, bool) or not isinstance(delay, (int, float)) or delay < 0:
+        raise ValueError("Config 'request_delay_seconds' must be a non-negative number.")
+    retries = merged["max_retries"]
+    if isinstance(retries, bool) or not isinstance(retries, int) or retries < 0:
+        raise ValueError("Config 'max_retries' must be a non-negative integer.")
+
+    if merged["asset_save_structure"] not in ("per_page",):
+        print(
+            f"Warning: Invalid asset_save_structure '{merged['asset_save_structure']}' "
+            "in config. Defaulting to 'per_page'.",
+            file=sys.stderr,
+        )
+        merged["asset_save_structure"] = "per_page"
+
+    return EngineConfig(
+        target_domain=merged["target_domain"],
+        content_selectors=tuple(merged["content_selectors"]),
+        request_delay_seconds=float(delay),
+        max_retries=int(retries),
+        download_js=bool(merged["download_js"]),
+        download_css=bool(merged["download_css"]),
+        download_images=bool(merged["download_images"]),
+        save_original_html=bool(merged["save_original_html"]),
+        rewrite_asset_links=bool(merged["rewrite_asset_links"]),
+        output_dir=merged["output_dir"],
+    )

@@ -271,6 +271,58 @@ def default_config(**kw) -> EngineConfig:
 # timestamp (memento_client.py:30,126) — injected literal (SURVEY §3 E3).
 MEMENTO_NOW_TS = "20240101000000"
 
+# Non-archive mirror host that serves memento content in the sim.
+MEMENTO_MIRROR_HOST = "memento.mirror.example.net"
+
+
+def memento_api_json(url: str) -> str | None:
+    """Raw Memento TimeTravel API response body for a wayback-dead
+    URL — the nested-JSON shape the reference navigates
+    (memento_client.py:45-61). Consistent with memento_outcome():
+
+    - 'ok' / 'non_html': valid structure, non-archive closest URI
+      (content fetch then decides);
+    - 'loop': valid structure but a web.archive.org URI (the loop
+      guard must reject it);
+    - 'none': half the time a 404 (no body -> None), half a
+      structurally-invalid body (missing 'closest') — both must
+      yield no URI.
+    """
+    import json as _json
+
+    m = memento_outcome(url)
+    h = _u(xxhash64_str("mementojson:" + url))
+    if m == "none":
+        if h % 2 == 0:
+            return None
+        return _json.dumps({"mementos": {"first": {"uri": []}}})
+    if m == "loop":
+        uri = f"https://web.archive.org/web/{MEMENTO_NOW_TS}/{url}"
+    else:
+        uri = f"https://{MEMENTO_MIRROR_HOST}/{h % 10**8}/{url}"
+    return _json.dumps(
+        {
+            "original_uri": url,
+            "mementos": {"closest": {"datetime": MEMENTO_NOW_TS, "uri": [uri]}},
+        }
+    )
+
+
+def memento_content_fetch(memento_uri: str) -> str | None:
+    """Content served at a memento mirror URI (the SRC5 fetch). The
+    original URL is embedded as the URI's path remainder."""
+    parts = memento_uri.split("/", 4)
+    if len(parts) < 5:
+        return None
+    orig = parts[4]
+    m = memento_outcome(orig)
+    if m == "ok":
+        return page_html(orig)
+    if m == "non_html":
+        # fetched fine but fails the reference's '<html' validity probe
+        return f"%PDF-1.4 binary-ish payload for {orig}"
+    return None
+
 
 def page_html_rich(url: str, n_paras: int = 40) -> str:
     """Benchmark-weight page (~30 KB): same structural lattice as

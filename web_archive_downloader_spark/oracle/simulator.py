@@ -73,6 +73,7 @@ class OracleResult:
     crawl_order: list[str] = field(default_factory=list)  # all processed (non-skipped) URLs in order
     seen: list[str] = field(default_factory=list)  # checkpoint adds, in order
     docs: list[dict] = field(default_factory=list)
+    htmls: list[dict] = field(default_factory=list)  # SNK2 original-HTML saves
     assets: list[dict] = field(default_factory=list)
     images: list[dict] = field(default_factory=list)  # graft corpus rows
     failed: list[tuple[str, str]] = field(default_factory=list)  # (url, reason)
@@ -266,10 +267,25 @@ def run_oracle(
 
         title, md = extract_and_convert_content(html, url, config, saved_assets_map)
 
+        # SNK2 (file_handler.py:156-201, gate main.py:148-152): original
+        # HTML is saved whenever a title exists — even if the markdown
+        # conversion below fails (the md-empty page still claims a
+        # .html name). Wayback path only; memento never saves html.
         if config.save_original_html and title:
             dirpath = page_dir(url, config.output_dir)
             base = markdown_base_filename(title, url)
-            _save_with_collisions_md(fs, dirpath, base, ".html")
+            hname = _save_with_collisions_md(fs, dirpath, base, ".html")
+            if hname:
+                res.htmls.append(
+                    dict(
+                        url=url,
+                        ts=ts,
+                        title=title,
+                        dir=dirpath,
+                        filename=hname,
+                        html=html,
+                    )
+                )
 
         if not title or not md:
             res.failed.append((url, "extract_fail"))

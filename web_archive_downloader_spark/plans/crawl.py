@@ -94,6 +94,17 @@ DOCS_RAW_SCHEMA = T.StructType(
     ]
 )
 
+HTML_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("html", T.StringType()),
+        T.StructField("epoch", T.IntegerType()),
+    ]
+)
+
 ASSETS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("page_url", T.StringType()),
@@ -104,6 +115,14 @@ ASSETS_RAW_SCHEMA = T.StructType(
         T.StructField("asset_pos", T.IntegerType()),
         T.StructField("nbytes", T.IntegerType()),
         T.StructField("epoch", T.IntegerType()),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.IntegerType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("value", T.LongType()),
     ]
 )
 
@@ -124,8 +143,14 @@ _MD_POS = (1 << _POS_BITS) - 1
 
 
 def seed_frontier_from_cdx(cdx: DataFrame) -> DataFrame:
-    """CDX table -> initial frontier: F4/F5 validation, A1 latest-per-
-    URL with first-appearance seq, host extraction, depth 0."""
+    """CDX table -> initial frontier: F2/F3 server-filter analog
+    (statuscode:200 + mimetype:text/html, pushed into the scan), F4/F5
+    validation, A1 latest-per-URL with first-appearance seq, host
+    extraction, depth 0."""
+    from ..sources.cdx import cdx_server_filter
+
+    if "status" in cdx.columns:
+        cdx = cdx_server_filter(cdx)
     latest = latest_snapshot_per_url(valid_cdx(cdx))
     return latest.select(
         "url",
@@ -203,7 +228,13 @@ class CrawlPlan:
         if n_sched == 0:
             # nothing runnable now; still drain robots-blocked rows
             # and de-dup seen rows, then advance the epoch
-            fpath = store.stage("frontier", epoch, held.unionByName(unseen))
+            from pyspark.sql import Observation
+
+            obs_f = Observation(f"frontier0_{epoch}")
+            fpath = store.stage(
+                "frontier", epoch,
+                held.unionByName(unseen).observe(obs_f, F.count(F.lit(1)).alias("n")),
+            )
             staged = {
                 "frontier": fpath,
                 "lineage": store.stage("lineage", epoch, self._lineage(epoch, sched)),
@@ -213,10 +244,21 @@ class CrawlPlan:
                     "processed", epoch, robots_blocked_rows.withColumn("epoch", F.lit(epoch))
                 )
             store.commit(epoch, staged)
-            return 0, self.spark.read.parquet(fpath).count()
+            return 0, int(obs_f.get["n"])
 
         sched = sched.cache()
         leftover = unseen.join(sched.select("url"), "url", "left_anti")
+
+        # --- SNK5/A3: named epoch metrics via df.observe() — the
+        # engine analog of the reference's run counters
+        # (main.py:50-54,111-139,169-175). Collected as a side effect
+        # of the FIRST action over the observed frames (the docs_raw
+        # stage write), so they cost no extra job; landed in the
+        # per-epoch `metrics` table at commit time.
+        from pyspark.sql import Observation
+
+        obs_route = Observation(f"route_{epoch}")
+        obs_extract = Observation(f"extract_{epoch}")
 
         # --- fetch + route ---
         # The schedule is tiny by BYTES (urls) but heavy by WORK
@@ -229,9 +271,19 @@ class CrawlPlan:
             self.spark.sparkContext.defaultParallelism, max(1, n_sched // 8)
         )
         fetched = fetch_stage(sched.repartition(par, F.col("url"))).cache()
-        routed = fetched.withColumn(
-            "route", route_col(F.col("outcome"), F.col("attempt"), cfg.max_retries)
-        ).cache()
+        routed = (
+            fetched.withColumn(
+                "route", route_col(F.col("outcome"), F.col("attempt"), cfg.max_retries)
+            )
+            .observe(
+                obs_route,
+                F.count(F.lit(1)).alias("fetched_total"),
+                F.count_if(F.col("route") == "ok").alias("fetched_ok"),
+                F.count_if(F.col("route") == "retry").alias("retry"),
+                F.count_if(F.col("route") == "dead_wayback").alias("dead_wayback"),
+            )
+            .cache()
+        )
         ok = routed.filter(F.col("route") == "ok")
         retry = (
             routed.filter(F.col("route") == "retry")
@@ -245,9 +297,34 @@ class CrawlPlan:
         dead_wayback = routed.filter(F.col("route") == "dead_wayback")
 
         # --- wayback-ok: extract (title + content + success probe) ---
-        extracted = extract_stage(ok.select("url", "ts", "seq", "attempt", "html"), cfg).cache()
+        extracted = (
+            extract_stage(ok.select("url", "ts", "seq", "attempt", "html"), cfg)
+            .observe(
+                obs_extract,
+                F.count_if(F.col("title").isNotNull() & F.col("md_ok")).alias("extract_ok"),
+                F.count_if(F.col("title").isNull() | ~F.col("md_ok")).alias("extract_fail"),
+            )
+            .cache()
+        )
         ok_pages = extracted.filter(F.col("title").isNotNull() & F.col("md_ok"))
         extract_fail = extracted.filter(F.col("title").isNull() | ~F.col("md_ok"))
+
+        # --- SNK2: original-HTML sink rows (file_handler.py:156-201,
+        # gate main.py:148-152): saved whenever a title exists — even
+        # when markdown conversion fails — on the wayback path only
+        # (the memento path never calls save_html). Names are assigned
+        # at finalize time (finalize_html); the .html namespace never
+        # collides with .md/asset names (exists-probe is on the full
+        # path including extension).
+        html_new = None
+        if cfg.save_original_html:
+            # truthiness gates per the reference: empty-string title or
+            # html skips the save, same as None (save_html's
+            # `if not title or not html_content`)
+            html_new = extracted.filter(
+                F.col("title").isNotNull() & (F.col("title") != "")
+                & F.col("html").isNotNull() & (F.col("html") != "")
+            ).select("url", "ts", "seq", "title", "html", F.lit(epoch).alias("epoch"))
 
         assets = asset_fetch_stage(
             find_assets_stage(ok.select("url", "ts", "seq", "html"), cfg)
@@ -310,6 +387,24 @@ class CrawlPlan:
         staged = {"docs_raw": store.stage("docs_raw", epoch, docs_raw)}
         docs_committed = self.spark.read.parquet(staged["docs_raw"])
 
+        # the docs_raw write above was the first action through the
+        # observed frames — the named metrics are now available at no
+        # extra job cost
+        route_m = obs_route.get
+        extract_m = obs_extract.get
+        metrics = self.spark.createDataFrame(
+            [
+                (epoch, "scheduled", n_sched),
+                (epoch, "fetched_total", route_m["fetched_total"]),
+                (epoch, "fetched_ok", route_m["fetched_ok"]),
+                (epoch, "retry", route_m["retry"]),
+                (epoch, "dead_wayback", route_m["dead_wayback"]),
+                (epoch, "extract_ok", extract_m["extract_ok"]),
+                (epoch, "extract_fail", extract_m["extract_fail"]),
+            ],
+            METRICS_SCHEMA,
+        )
+
         seen_new = docs_committed.select("url", "seq", F.lit(epoch).alias("epoch"))
         processed = (
             docs_committed.select(
@@ -339,6 +434,13 @@ class CrawlPlan:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        # the frontier row count rides the staged write itself (no
+        # post-commit re-read job)
+        obs_frontier = Observation(f"frontier_{epoch}")
+        new_frontier = new_frontier.observe(
+            obs_frontier, F.count(F.lit(1)).alias("n")
+        )
+
         jobs = {
             "assets_raw": assets_raw,
             "frontier": new_frontier,
@@ -346,9 +448,12 @@ class CrawlPlan:
             "processed": processed,
             "bloom": bloom_new,
             "lineage": self._lineage(epoch, sched),
+            "metrics": metrics,
         }
         if images_new is not None:
             jobs["images"] = images_new
+        if html_new is not None:
+            jobs["html_raw"] = html_new
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             futures = {
                 t: pool.submit(store.stage, t, epoch, df) for t, df in jobs.items()
@@ -356,7 +461,7 @@ class CrawlPlan:
             for t, fut in futures.items():
                 staged[t] = fut.result()
         store.commit(epoch, staged)
-        n_pending = self.spark.read.parquet(staged["frontier"]).count()
+        n_pending = int(obs_frontier.get["n"])
         for df in (sched, fetched, routed, extracted, mem_extracted, assets):
             df.unpersist()
         return n_sched, n_pending
@@ -599,6 +704,34 @@ class CrawlPlan:
             ).alias("markdown"),
         )
         return docs, assets_named
+
+    def finalize_html(self) -> DataFrame:
+        """SNK2: the original-HTML output table (url, ts, seq, title,
+        dir, filename, html), names assigned by the same deterministic
+        collision replay as markdown/assets.
+
+        The .html namespace is computed in its OWN assign_collision_
+        names pass: the reference's exists-probe is on the full path
+        including extension (file_handler.py:180-188), so .html names
+        can never collide with .md or asset names — the replay groups
+        (dir, base, ext) are disjoint from the md/asset pass and the
+        two passes commute. One html save per page => save order
+        within a group is page seq order. Idempotent like
+        finalize_outputs."""
+        cfg = self.config
+        html_raw = self.store.read("html_raw", HTML_RAW_SCHEMA)
+        saves = html_raw.select(
+            page_dir_col(F.col("url"), cfg.output_dir).alias("dir"),
+            markdown_base_filename_col(F.col("title"), F.col("url")).alias("base"),
+            F.lit(".html").alias("ext"),
+            F.lit("page").alias("style"),
+            F.col("seq").alias("save_seq"),
+            "url", "ts", "seq", "title", "html",
+        )
+        named = assign_collision_names(saves)
+        return named.filter(
+            F.col("filename").isNotNull() & F.col("html").isNotNull()
+        ).select("url", "ts", "seq", "title", "dir", "filename", "html")
 
     def final_url_seen(self, docs: DataFrame) -> DataFrame:
         """Reconciled URL-seen set (the exported checkpoint): epoch

@@ -24,6 +24,7 @@ CDX_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("ts", T.StringType()),
         T.StructField("mimetype", T.StringType()),
+        T.StructField("status", T.IntegerType()),
         T.StructField("seq", T.LongType()),
     ]
 )
@@ -32,7 +33,9 @@ CDX_SCHEMA = T.StructType(
 def cdx_dataframe(spark: SparkSession, raw_records: list[list]) -> DataFrame:
     """Fixture ingest: raw list-of-lists (possibly with header row and
     malformed rows) -> typed CDX DataFrame with file-order seq.
-    Malformed short rows become null-padded (dropped by valid_cdx)."""
+    Malformed short rows become null-padded (dropped by valid_cdx).
+    An optional 4th element is the HTTP statuscode (feeds that carry
+    it); 3-element feeds get a null status (pre-filtered upstream)."""
     if raw_records and raw_records[0] == ["original", "timestamp", "mimetype"]:
         raw_records = raw_records[1:]
     rows = []
@@ -42,8 +45,25 @@ def cdx_dataframe(spark: SparkSession, raw_records: list[list]) -> DataFrame:
         url = rec[0] if len(rec) > 0 else None
         ts = rec[1] if len(rec) > 1 else None
         mt = rec[2] if len(rec) > 2 else None
-        rows.append((url or None, ts or None, mt, i))
+        st = int(rec[3]) if len(rec) > 3 and rec[3] is not None else None
+        rows.append((url or None, ts or None, mt, st, i))
     return spark.createDataFrame(rows, CDX_SCHEMA)
+
+
+def cdx_server_filter(cdx: DataFrame) -> DataFrame:
+    """F2/F3: the reference's SERVER-side CDX filters
+    (constants.py:38-39, cdx_client.py:26 — 'statuscode:200' +
+    'mimetype:text/html') applied at ingest. On a parquet/Iceberg CDX
+    dump both predicates push into the scan (asserted in
+    tests/test_plan_shapes.py). Null status/mimetype rows pass: they
+    represent feeds already filtered upstream (the reference never
+    receives non-matching rows at all). The surviving rows keep their
+    original (sparse) seq — first-appearance ordering needs only
+    relative order, and renumbering would be a global sort."""
+    return cdx.filter(
+        (F.col("status").isNull() | (F.col("status") == 200))
+        & (F.col("mimetype").isNull() | (F.col("mimetype") == "text/html"))
+    )
 
 
 def read_cdx_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -34,7 +34,7 @@ from ..content.extract import (
     _parse,
 )
 from ..content.paths import page_dir
-from ..datagen import asset_bytes, memento_outcome, page_html, wayback_fetch_sim
+from ..datagen import asset_bytes, wayback_fetch_sim
 
 
 def fetch_stage(scheduled: DataFrame) -> DataFrame:
@@ -60,36 +60,106 @@ def fetch_stage(scheduled: DataFrame) -> DataFrame:
     return scheduled.mapInPandas(fetch_batches, out_schema)
 
 
-def memento_stage(dead: DataFrame, config: EngineConfig) -> DataFrame:
-    """SRC4/SRC5: memento fallback for wayback-dead rows. Lookup +
-    content fetch with inline retries (the reference performs the
-    whole fallback inside one loop iteration, main.py:71-93).
-    Output adds (memento_result, html)."""
-    out_schema = T.StructType(
-        dead.schema.fields
-        + [
-            T.StructField("memento_result", T.StringType()),
-            T.StructField("memento_html", T.StringType()),
-        ]
+# SRC4/X9: the Memento API's nested response shape
+# (memento_client.py:45-53) as a Spark schema for from_json.
+MEMENTO_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField("original_uri", T.StringType()),
+        T.StructField(
+            "mementos",
+            T.StructType(
+                [
+                    T.StructField(
+                        "closest",
+                        T.StructType(
+                            [
+                                T.StructField("datetime", T.StringType()),
+                                T.StructField("uri", T.ArrayType(T.StringType())),
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def memento_lookup_stage(dead: DataFrame) -> DataFrame:
+    """SRC4: Memento TimeTravel lookup. The HTTP call is the only
+    Python step (mapInPandas shim attaching the raw response body);
+    the response NAVIGATION is fully relational — ``from_json`` with
+    the nested struct/array schema, ``mementos.closest.uri[0]``
+    selection, and the web.archive.org loop-guard filter as Catalyst
+    expressions (memento_client.py:45-61). Malformed / missing-key /
+    absent bodies all surface as a null uri (from_json is null-safe),
+    exactly like the reference's isinstance checks.
+
+    Output adds (memento_uri nullable, lookup_result in
+    'found'|'loop'|'none')."""
+    from ..datagen import memento_api_json
+
+    raw_schema = T.StructType(
+        dead.schema.fields + [T.StructField("memento_api_raw", T.StringType())]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            results, htmls = [], []
-            for url in pdf["url"]:
-                m = memento_outcome(url)
-                if m == "ok":
-                    results.append("ok")
-                    htmls.append(page_html(url))
-                else:
-                    results.append(m)
-                    htmls.append(None)
             pdf = pdf.copy()
-            pdf["memento_result"] = results
-            pdf["memento_html"] = htmls
+            pdf["memento_api_raw"] = [memento_api_json(u) for u in pdf["url"]]
             yield pdf
 
-    return dead.mapInPandas(run, out_schema)
+    with_raw = dead.mapInPandas(lookup, raw_schema)
+    parsed = with_raw.withColumn(
+        "_m", F.from_json("memento_api_raw", MEMENTO_RESPONSE_SCHEMA)
+    )
+    uri0 = F.col("_m").getField("mementos").getField("closest").getField("uri").getItem(0)
+    host = F.coalesce(F.parse_url(uri0, F.lit("HOST")), F.lit(""))
+    is_loop = host.contains("web.archive.org")  # netloc substring check, :56
+    return parsed.select(
+        *[F.col(f.name) for f in dead.schema.fields],
+        F.when(uri0.isNotNull() & ~is_loop, uri0).alias("memento_uri"),
+        F.when(uri0.isNull(), F.lit("none"))
+        .when(is_loop, F.lit("loop"))
+        .otherwise(F.lit("found"))
+        .alias("lookup_result"),
+    )
+
+
+def memento_stage(dead: DataFrame, config: EngineConfig) -> DataFrame:
+    """SRC4/SRC5: memento fallback for wayback-dead rows — JSON
+    lookup + navigation (memento_lookup_stage) then content fetch of
+    the resolved URI with the reference's '<html' validity probe
+    (memento_client.py:112-116). The reference performs the whole
+    fallback inside one loop iteration (main.py:71-93); here it is
+    two vectorized stages in one plan. Output adds
+    (memento_result, memento_html)."""
+    from ..datagen import memento_content_fetch
+
+    looked_up = memento_lookup_stage(dead)
+    fetch_schema = T.StructType(
+        looked_up.schema.fields + [T.StructField("_content", T.StringType())]
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_content"] = [
+                memento_content_fetch(u) if isinstance(u, str) else None
+                for u in pdf["memento_uri"]
+            ]
+            yield pdf
+
+    fetched = looked_up.mapInPandas(fetch, fetch_schema)
+    html_ok = F.col("_content").isNotNull() & F.lower(F.col("_content")).contains("<html")
+    return fetched.select(
+        *[F.col(f.name) for f in dead.schema.fields],
+        F.when(F.col("lookup_result") != "found", F.col("lookup_result"))
+        .when(html_ok, F.lit("ok"))
+        .otherwise(F.lit("non_html"))
+        .alias("memento_result"),
+        F.when(html_ok, F.col("_content")).alias("memento_html"),
+    )
 
 
 _ASSETS_TYPE = T.ArrayType(

@@ -262,6 +262,15 @@ def _q_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"), bits=32)
 
 
+def _q_simhash_pairs(spark, sf):
+    """Chunk-blocked simhash near-dup pairs (pigeonhole: hamming<=3
+    over 32 bits guarantees one equal 8-bit chunk) — candidate join is
+    an equi-join on (chunk, key), never all-pairs."""
+    from web_archive_downloader_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf, "documents"), bits=32, max_hamming=3)
+
+
 def _q_ann_bruteforce(spark, sf):
     return brute_force_topk(_t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -432,6 +441,47 @@ def _q_supplier_balance_by_region(spark, sf):
     )
 
 
+def _q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: BUILDING-segment orders placed before a cutoff
+    with lineitems shipped after it, top-10 open orders by revenue —
+    the global top-k compiles to TakeOrderedAndProject."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    cutoff = "1998-03-15"
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(o.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == o.o_orderkey)
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING"), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def _q_revenue_forecast(spark, sf):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    pushes into the parquet scan, no join, no shuffle beyond the
+    single global agg."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 def _q_rollup_revenue(spark, sf):
     """Grouping-sets coverage: rollup over (returnflag, linestatus)."""
     li = _t(spark, sf, "lineitem")
@@ -467,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "ann_bruteforce": _q_ann_bruteforce,
         "text_stats": _q_text_stats,
         "page_dir": _q_page_dir,
@@ -481,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_stats": _q_part_type_stats,
         "supplier_balance_by_region": _q_supplier_balance_by_region,
         "rollup_revenue": _q_rollup_revenue,
+        "shipping_priority": _q_shipping_priority,
+        "revenue_forecast": _q_revenue_forecast,
     }
 
 
@@ -765,6 +818,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ({simhash_terms}) AS simhash
             FROM hashes GROUP BY doc_id
         """,
+        "simhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))) AS tok
+              FROM documents
+            ),
+            hashes AS (SELECT doc_id, {h56_tok} AS h FROM toks),
+            sims AS (SELECT doc_id, ({simhash_terms}) AS simhash
+                     FROM hashes GROUP BY doc_id),
+            chunks AS (
+              SELECT doc_id, simhash, t.i AS chunk,
+                     (simhash >> (t.i * 8)::INT) & 255 AS key
+              FROM sims CROSS JOIN range(4) t(i)
+            ),
+            cands AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                     l.simhash AS sa, r.simhash AS sb
+              FROM chunks l JOIN chunks r
+                ON l.chunk = r.chunk AND l.key = r.key AND l.doc_id < r.doc_id
+            )
+            SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+            FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+        """,
         "ann_bruteforce": f"""
             SELECT query_id, rn AS rank, neighbor_id, cos
             FROM (
@@ -868,6 +944,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, revenue, orderdate, o_orderpriority
+            FROM (
+              SELECT l.l_orderkey,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                     strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+                     o.o_orderpriority
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+                AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+              GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            )
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "rollup_revenue": """
             SELECT coalesce(l_returnflag, 'ALL') AS rf,

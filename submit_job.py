@@ -22,12 +22,20 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    spark = (
+    from pyspark import SparkConf
+
+    builder = (
         SparkSession.builder.appName("wads_submit")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
     )
+    # size shuffles to the actual cluster unless the submitter already
+    # did (--conf wins): the 200-partition default turns every tiny
+    # state-table shuffle into 200 tasks on a local[4] smoke run; on a
+    # real cluster set ~2-3x total cores via --conf
+    if not SparkConf().contains("spark.sql.shuffle.partitions"):
+        builder = builder.config("spark.sql.shuffle.partitions", "16")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     from web_archive_downloader_spark.datagen import default_config, gen_cdx_multihost

@@ -21,7 +21,7 @@ N_URLS = 150
 def crawl_result(spark, tmp_path_factory):
     raw = gen_cdx_records(n_urls=N_URLS, seed=42)
     # large epoch budget => few epochs (fast); equality is budget-invariant
-    cfg = default_config(epoch_seconds=60.0)
+    cfg = default_config(epoch_seconds=90.0)
     store = StateStore(str(tmp_path_factory.mktemp("crawl_state")), spark)
     plan = CrawlPlan(spark, store, cfg)
     stats = plan.run(cdx_dataframe(spark, raw))
@@ -74,7 +74,7 @@ def test_html_sink_byte_equal(crawl_result):
     from web_archive_downloader_spark.sources.state import StateStore
 
     stats, store, _, _, oracle = crawl_result
-    cfg = default_config(epoch_seconds=60.0)
+    cfg = default_config(epoch_seconds=90.0)
     assert cfg.save_original_html
     plan = CrawlPlan(store.spark, store, cfg)
     htmls = plan.finalize_html()
@@ -162,7 +162,7 @@ def test_politeness_budget_respected(crawl_result, spark):
 
     stats, store, _, _, _ = crawl_result
     lineage = store.read("lineage")
-    cfg = default_config(epoch_seconds=60.0)
+    cfg = default_config(epoch_seconds=90.0)
     per_host_epoch = lineage.groupBy("epoch", "host").agg(F.sum("granted").alias("n"))
     over = per_host_epoch.filter(F.col("n") > cfg.per_host_epoch_budget).count()
     assert over == 0

@@ -133,6 +133,44 @@ def test_unseen_with_bloom_exact(spark):
     assert plain == expected
 
 
+def test_bucketed_url_seen_join_shuffles_small_side_only(spark, tmp_path):
+    """J1 at scale: with url_seen persisted bucketed-by-url, the
+    anti-join plan must contain NO Exchange above the url_seen scan —
+    only the frontier side shuffles (storage-partitioned join)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from web_archive_downloader_spark.operators.seen import write_url_seen_bucketed
+
+    seen = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://e.com/{i}" for i in range(5000)]})
+    )
+    write_url_seen_bucketed(seen, "url_seen_bucketed_test", buckets=8)
+    frontier = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://e.com/{i}" for i in range(4000, 6000)]})
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        seen_t = spark.table("url_seen_bucketed_test")
+        out = anti_join_unseen(frontier, seen_t)
+        got = sorted(r.url for r in out.collect())
+        assert got == sorted(f"https://e.com/{i}" for i in range(5000, 6000))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # exactly ONE exchange (the frontier side); the bucketed scan
+        # feeds the join directly
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS url_seen_bucketed_test")
+
+
 def test_per_host_topk_budget_and_order(spark):
     rows = []
     for h, n in [("hot.com", 500), ("cold.com", 5)]:

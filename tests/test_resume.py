@@ -13,7 +13,7 @@ from web_archive_downloader_spark.plans.crawl import (
 from web_archive_downloader_spark.sources.cdx import cdx_dataframe
 from web_archive_downloader_spark.sources.state import StateStore
 
-N = 60
+N = 42
 
 
 def _run_full(spark, store_dir, cfg, raw):

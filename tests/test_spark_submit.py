@@ -32,7 +32,7 @@ def test_spark_submit_py_files(tmp_path):
             "--py-files", pkg_zip,
             "--conf", "spark.ui.enabled=false",
             os.path.join(REPO, "submit_job.py"),
-            "60",
+            "36",
         ],
         capture_output=True,
         text=True,

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 from web_archive_downloader_spark.datagen import gen_cdx_records
 from web_archive_downloader_spark.oracle.simulator import process_cdx_oracle, strip_header
 from web_archive_downloader_spark.streaming.events import (
+    drain_frontier_inbox,
     stream_cdx_ingest,
     stream_event_rates,
+    stream_frontier_feed,
     windowed_event_rates,
 )
 
@@ -37,6 +39,52 @@ def test_stream_cdx_ingest_validates_and_preserves(spark, tmp_path):
     oracle_urls = set(process_cdx_oracle(strip_header(raw)).keys())
     assert got_urls == oracle_urls  # validation filters identical to F4/F5
     assert out.filter(F.col("host").isNull()).count() == 0
+
+
+def test_frontier_feed_foreach_batch_exactly_once(spark, tmp_path):
+    """foreachBatch frontier feed: frontier-shaped rows land in
+    batch-id-keyed inbox dirs; re-running the stream (fresh trigger,
+    same checkpoint) must NOT duplicate rows — the source checkpoint
+    skips processed shards."""
+    raw = gen_cdx_records(n_urls=60, seed=13)
+    rows = [
+        (r[0] or None, r[1] if len(r) > 1 else None, r[2] if len(r) > 2 else None, i)
+        for i, r in enumerate(strip_header(raw))
+        if isinstance(r, list)
+    ]
+    in_dir = str(tmp_path / "in")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ck")
+    pdf = pd.DataFrame(rows, columns=["url", "ts", "mimetype", "seq"])
+    spark.createDataFrame(pdf.iloc[: len(pdf) // 2]).write.parquet(in_dir + "/s1")
+    spark.createDataFrame(pdf.iloc[len(pdf) // 2 :]).write.parquet(in_dir + "/s2")
+
+    q = stream_frontier_feed(spark, in_dir + "/*", inbox, ckpt)
+    q.awaitTermination(120)
+    got = drain_frontier_inbox(spark, inbox)
+    valid_urls = {r[0] for r in rows if r[0] and r[1] and len(str(r[1])) == 14 and str(r[1]).isdigit()}
+    assert {r.url for r in got.collect()} == valid_urls
+    assert set(got.columns) == {
+        "url", "ts", "host", "depth", "priority", "seq", "attempt", "eligible_epoch"
+    }
+    n1 = got.count()
+
+    # second trigger over the same input: nothing new to process
+    q2 = stream_frontier_feed(spark, in_dir + "/*", inbox, ckpt)
+    q2.awaitTermination(120)
+    assert drain_frontier_inbox(spark, inbox).count() == n1
+
+    # a NEW shard arrives: only its rows are appended
+    extra = pd.DataFrame(
+        [("https://ex.com/new-page", "20230101000000", "text/html", 10_000)],
+        columns=["url", "ts", "mimetype", "seq"],
+    )
+    spark.createDataFrame(extra).write.parquet(in_dir + "/s3")
+    q3 = stream_frontier_feed(spark, in_dir + "/*", inbox, ckpt)
+    q3.awaitTermination(120)
+    final = drain_frontier_inbox(spark, inbox)
+    assert final.count() == n1 + 1
+    assert final.filter(F.col("url") == "https://ex.com/new-page").count() == 1
 
 
 def test_windowed_rates_stream_matches_batch(spark, tmp_path):

@@ -80,6 +80,9 @@ class EngineConfig:
     # equality runs.
     expand_links: bool = False
     max_depth: int = 2
+    # Cap on <a href> links taken per page during expansion (canonical
+    # sorted order, so the cap is deterministic).
+    max_links_per_page: int = 64
 
     def __post_init__(self) -> None:
         if self.request_delay_seconds < 0:

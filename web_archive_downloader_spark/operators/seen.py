@@ -219,6 +219,28 @@ def anti_join_unseen(frontier: DataFrame, url_seen: DataFrame) -> DataFrame:
     return frontier.join(url_seen.select("url"), on="url", how="left_anti")
 
 
+def write_url_seen_bucketed(
+    url_seen: DataFrame, table_name: str, buckets: int = 32
+) -> None:
+    """Scale path for the J1 big side: persist url_seen as a BUCKETED
+    table (hash-bucketed + sorted by url). Reading it back for the
+    anti-join gives a storage-partitioned join: the url_seen scan
+    needs NO Exchange and NO Sort — only the (much smaller) frontier
+    side shuffles. On Iceberg this is the same contract via bucket(N,
+    url) partition transforms + storage-partitioned joins. At a
+    10^10-row seen set, not shuffling the big side per epoch is the
+    difference between an O(seen) exchange every epoch and an
+    O(frontier) one. Demonstrated + plan-asserted in
+    tests/test_operators.py::test_bucketed_url_seen_join_shuffles_small_side_only."""
+    (
+        url_seen.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+        .saveAsTable(table_name)
+    )
+
+
 def unseen_with_bloom(
     frontier: DataFrame,
     url_seen: DataFrame,

@@ -487,6 +487,7 @@ class CrawlPlan:
         from urllib.parse import urljoin, urlparse
 
         cfg = self.config
+        max_links = cfg.max_links_per_page
         link_schema = T.StructType(
             [
                 T.StructField("parent_seq", T.LongType()),
@@ -517,7 +518,7 @@ class CrawlPlan:
                                 continue
                             if absu not in seen_here:
                                 seen_here.add(absu)
-                        for pos, link in enumerate(sorted(seen_here)[:64]):
+                        for pos, link in enumerate(sorted(seen_here)[:max_links]):
                             rows.append((r.seq, int(r.depth), r.ts, link, pos))
                     except Exception:
                         pass

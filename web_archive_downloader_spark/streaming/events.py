@@ -57,6 +57,53 @@ def stream_cdx_ingest(
     )
 
 
+def stream_frontier_feed(
+    spark: SparkSession, in_dir: str, inbox_dir: str, checkpoint_dir: str
+):
+    """Continuous frontier feed via foreachBatch: CDX shards land as
+    files; each micro-batch validates rows, shapes them as frontier
+    candidates (host, depth 0, attempt 1), and writes an IDEMPOTENT
+    per-batch-id parquet dir. Exactly-once = the file-source
+    checkpoint (no shard re-read) + batch-id-keyed overwrite (a
+    replayed batch overwrites its own dir, never duplicates). The
+    epoch loop drains the inbox between epochs with
+    ``drain_frontier_inbox`` — seen-set dedup stays in the epoch
+    anti-join, which needs the full membership state (batch side)."""
+    raw = (
+        spark.readStream.schema(CDX_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+    feed = valid_cdx(raw).select(
+        "url",
+        "ts",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(0.0).alias("priority"),
+        "seq",
+        F.lit(1).alias("attempt"),
+        F.lit(0).alias("eligible_epoch"),
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{inbox_dir}/batch={batch_id}")
+
+    return (
+        feed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def drain_frontier_inbox(spark: SparkSession, inbox_dir: str) -> DataFrame:
+    """Read all landed feed batches as frontier-candidate rows (the
+    epoch loop unions this with the frontier and lets the J1 anti-join
+    dedup against url_seen). Drops the batch-id partition column —
+    it is commit bookkeeping, not frontier state."""
+    return spark.read.parquet(inbox_dir).drop("batch")
+
+
 def windowed_event_rates(events: DataFrame, window: str = "1 hour", late: str = "30 minutes") -> DataFrame:
     """Watermarked windowed aggregation over an event stream
     (event_time ts): per-window per-type counts + value stats. Works

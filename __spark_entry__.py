@@ -271,6 +271,16 @@ def _q_simhash_pairs(spark, sf):
     return simhash_near_dups(_t(spark, sf, "documents"), bits=32, max_hamming=3)
 
 
+def _q_dedup_components(spark, sf):
+    """Dedup clustering: connected components (iterative min-label
+    propagation, localCheckpoint per round) over exact-hash star +
+    same-signature star + Jaccard-verified LSH edges. The DuckDB twin
+    computes the same components with a recursive CTE."""
+    from web_archive_downloader_spark.operators.dedup import dedup_components
+
+    return dedup_components(_t(spark, sf, "documents"), jaccard_threshold=0.4)
+
+
 def _q_ann_bruteforce(spark, sf):
     return brute_force_topk(_t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -518,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "dedup_components": _q_dedup_components,
         "ann_bruteforce": _q_ann_bruteforce,
         "text_stats": _q_text_stats,
         "page_dir": _q_page_dir,
@@ -817,6 +828,45 @@ def oracle_sql() -> dict[str, str]:
             hashes AS (SELECT doc_id, {h56_tok} AS h FROM toks)
             SELECT doc_id, ({simhash_terms}) AS simhash
             FROM hashes GROUP BY doc_id
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {_lsh_cte(16, 4)},
+            jac AS (
+              SELECT doc_a, doc_b
+              FROM cands
+              JOIN (SELECT doc_id, {tokset_a} AS toks FROM documents a) ta ON ta.doc_id = doc_a
+              JOIN (SELECT doc_id, {tokset_b} AS toks FROM documents b) tb ON tb.doc_id = doc_b
+              WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                          / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) >= 0.4
+            ),
+            exact_star AS (
+              SELECT g.rep AS doc_a, d.doc_id AS doc_b
+              FROM documents d
+              JOIN (SELECT md5(text) AS h, min(doc_id) AS rep
+                    FROM documents GROUP BY 1) g ON md5(d.text) = g.h
+              WHERE d.doc_id != g.rep
+            ),
+            sig_star AS (
+              SELECT r.rep_id AS doc_a, s.doc_id AS doc_b
+              FROM sigs s JOIN reps r USING (sig_key)
+              WHERE s.doc_id != r.rep_id
+            ),
+            edges AS (
+              SELECT doc_a, doc_b FROM exact_star
+              UNION SELECT doc_a, doc_b FROM sig_star
+              UNION SELECT doc_a, doc_b FROM jac
+            ),
+            edges_sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges
+            ),
+            walk(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN edges_sym e ON e.src = w.node
+            )
+            SELECT node AS doc_id, min(label) AS component
+            FROM walk GROUP BY node
         """,
         "simhash_pairs": f"""
             WITH toks AS (

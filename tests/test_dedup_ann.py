@@ -175,6 +175,40 @@ def test_embedding_neardup_finds_planted_dup(emb, spark):
         assert (i, i + 100000) in got
 
 
+def test_connected_components_shapes(spark):
+    """Min-label propagation on known graph shapes: chain (max
+    diameter), star, two separate components, singleton."""
+    import pandas as pd
+    from web_archive_downloader_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5, star 10-{11,12,13}, pair 20-21, singleton 30
+    edges = pd.DataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+        columns=["doc_a", "doc_b"],
+    )
+    nodes = pd.DataFrame({"node": [1, 2, 3, 4, 5, 10, 11, 12, 13, 20, 21, 30]})
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame(nodes), spark.createDataFrame(edges)
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10,
+                   13: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_dedup_components_cluster_exact_dups(docs, spark):
+    from web_archive_downloader_spark.operators.dedup import dedup_components
+
+    d2 = docs.limit(8).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    both = docs.limit(8).unionByName(d2)
+    comp = {r.doc_id: r.component for r in dedup_components(both).collect()}
+    for i in range(8):
+        assert comp[i + 100000] == comp[i]  # byte-dup lands in the original's cluster
+
+
 def test_embedding_neardup_lsh_vs_exact(emb, spark):
     """The blocked (checked) path vs the exact all-pairs reference:
     exact duplicates collide in EVERY table (identical sign buckets),

@@ -106,16 +106,22 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 16, bands: int = 4) -> Data
     signatures per bucket, never in duplicate multiplicity."""
     assert k % bands == 0
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, k)
+    # Materialize signatures ONCE: the banded self-join would otherwise
+    # recompute the token-explode + k-way min aggregation (the
+    # expensive subtree) for each side — Spark's ReusedExchange does
+    # NOT fire across the differing downstream projections (verified
+    # by plan audit: 4 scans / 6 explodes without this). Signatures
+    # are tiny (doc_id + k longs per doc), so the checkpoint is cheap.
+    sig = minhash_signatures(docs, k).localCheckpoint(eager=True)
     keyed = sig.withColumn(
         "sig_key", F.concat_ws(",", F.col("sig").cast("array<string>"))
     )
-    reps = keyed.groupBy("sig_key").agg(F.min("doc_id").alias("rep_id"))
-    rep_sigs = (
-        keyed.join(reps, "sig_key")
-        .filter(F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id", "sig")
-    )
+    # one representative per distinct signature; sig is identical
+    # within a sig_key group, so first() is value-deterministic — this
+    # replaces the previous agg + self-join + filter with a single agg
+    rep_sigs = keyed.groupBy("sig_key").agg(
+        F.min("doc_id").alias("doc_id"), F.first("sig").alias("sig")
+    ).select("doc_id", "sig")
     banded = rep_sigs.select(
         "doc_id",
         F.explode(
@@ -307,6 +313,94 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95) -> DataFra
             F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def neardup_edges(
+    docs: DataFrame, jaccard_threshold: float = 0.4, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Deduplication edge set (doc_a, doc_b), doc_a < doc_b, distinct —
+    three families, each sub-quadratic:
+
+    1. exact-hash STAR edges: every doc links to its content-hash
+       group's min doc_id (stars induce the same connectivity as
+       cliques at O(n) instead of O(n^2) edges);
+    2. same-signature star edges: docs whose FULL MinHash signatures
+       are identical (near-identical text the LSH stage deliberately
+       collapses before pair enumeration);
+    3. LSH-candidate pairs among signature representatives verified by
+       exact token Jaccard >= threshold.
+    """
+    exact = docs.select(F.md5("text").alias("h"), "doc_id")
+    exact_star = (
+        exact.join(exact.groupBy("h").agg(F.min("doc_id").alias("rep")), "h")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    sig = minhash_signatures(docs, k).select(
+        "doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_key")
+    )
+    sig_star = (
+        sig.join(sig.groupBy("sig_key").agg(F.min("doc_id").alias("rep")), "sig_key")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    jac = (
+        jaccard_pairs(docs, minhash_lsh_candidates(docs, k, bands))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b")
+    )
+    return exact_star.unionByName(sig_star).unionByName(jac).distinct()
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    engine's iterative-algorithm pattern (non-SQL-expressible in one
+    plan; the DuckDB twin uses a recursive CTE).
+
+    Per round: every node takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds
+    (star-heavy dedup graphs converge in 2-4). Each round's labels are
+    localCheckpoint-ed: without cutting lineage the plan doubles every
+    iteration. Deterministic: min() is order-free.
+
+    nodes: (node), edges: (doc_a, doc_b). Returns (node, component)
+    where component = min node id in the component."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(True)
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            msgs.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_components(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
+    """Full dedup clustering: (doc_id, component) for EVERY doc —
+    singletons keep component = doc_id. component = min doc_id in the
+    near-dup cluster (the canonical 'keep' representative for a
+    training-data dedup pass)."""
+    edges = neardup_edges(docs, jaccard_threshold)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), "component"
     )
 
 

@@ -183,6 +183,19 @@ class CrawlPlan:
     # ---- one epoch ----
     def run_epoch(self, epoch: int) -> tuple[int, int]:
         """Returns (rows scheduled this epoch, frontier rows remaining)."""
+        import os
+        import time
+
+        trace = os.environ.get("SPARK_GRAFT_EPOCH_TRACE") == "1"
+        _t = time.perf_counter
+        _marks: list[tuple[str, float]] = []
+
+        def mark(label: str, t0: float) -> float:
+            if trace:
+                _marks.append((label, _t() - t0))
+            return _t()
+
+        t0 = _t()
         cfg = self.config
         store = self.store
         frontier = store.read_latest_only("frontier", FRONTIER_SCHEMA)
@@ -213,18 +226,24 @@ class CrawlPlan:
                 robots, cfg.epoch_seconds, cfg.request_delay_seconds
             )
 
+        t0 = mark("read_state", t0)
         sketches = [
             (r["partition_id"], bytes(r["sketch"]))
             for r in store.read("bloom", self._bloom_schema()).collect()
         ]
+        t0 = mark("bloom_collect", t0)
+        # cached: the unseen chain (bloom UDF + exact anti-join) feeds
+        # BOTH the schedule and the leftover/frontier write — without
+        # the cache it runs twice per epoch
         unseen = unseen_with_bloom(
             eligible, url_seen, sketches, cfg.seen_partitions, self.spark
-        )
+        ).cache()
 
         sched = per_host_topk(
             unseen, cfg.per_host_epoch_budget, cfg.host_salt_buckets, budgets=budgets
         ).drop("host_rank")
         n_sched = sched.count()
+        t0 = mark("schedule_count", t0)
         if n_sched == 0:
             # nothing runnable now; still drain robots-blocked rows
             # and de-dup seen rows, then advance the epoch
@@ -244,6 +263,7 @@ class CrawlPlan:
                     "processed", epoch, robots_blocked_rows.withColumn("epoch", F.lit(epoch))
                 )
             store.commit(epoch, staged)
+            unseen.unpersist()
             return 0, int(obs_f.get["n"])
 
         sched = sched.cache()
@@ -384,7 +404,9 @@ class CrawlPlan:
         # tables (seen/bloom/processed) from the already-written
         # parquet and stage everything else CONCURRENTLY — local mode
         # pays ~1s fixed cost per action, so sibling writes overlap.
+        t0 = mark("build_plans", t0)
         staged = {"docs_raw": store.stage("docs_raw", epoch, docs_raw)}
+        t0 = mark("docs_raw_write", t0)
         docs_committed = self.spark.read.parquet(staged["docs_raw"])
 
         # the docs_raw write above was the first action through the
@@ -441,14 +463,26 @@ class CrawlPlan:
             obs_frontier, F.count(F.lit(1)).alias("n")
         )
 
+        # Pure-STATE tables (url_seen/processed/lineage/metrics/bloom)
+        # carry O(n_sched) tiny rows but inherit 32+ write partitions
+        # from upstream shuffles — at tail-epoch widths that is ~5
+        # jobs x 32 near-empty tasks of pure scheduler overhead.
+        # Coalesce them to ~4k rows/task (cheap narrow dependency; the
+        # compute they pull is trivial). Compute-carrying outputs
+        # (docs_raw/assets_raw/html_raw/images/frontier) are NOT
+        # coalesced: narrowing them would serialize the fetch/extract
+        # work itself.
+        state_par = max(1, min(
+            self.spark.sparkContext.defaultParallelism, n_sched // 4096 + 1
+        ))
         jobs = {
             "assets_raw": assets_raw,
             "frontier": new_frontier,
-            "url_seen": seen_new,
-            "processed": processed,
-            "bloom": bloom_new,
-            "lineage": self._lineage(epoch, sched),
-            "metrics": metrics,
+            "url_seen": seen_new.coalesce(state_par),
+            "processed": processed.coalesce(state_par),
+            "bloom": bloom_new.coalesce(state_par),
+            "lineage": self._lineage(epoch, sched).coalesce(state_par),
+            "metrics": metrics.coalesce(1),
         }
         if images_new is not None:
             jobs["images"] = images_new
@@ -460,10 +494,17 @@ class CrawlPlan:
             }
             for t, fut in futures.items():
                 staged[t] = fut.result()
+        t0 = mark("sibling_writes", t0)
         store.commit(epoch, staged)
         n_pending = int(obs_frontier.get["n"])
-        for df in (sched, fetched, routed, extracted, mem_extracted, assets):
+        for df in (sched, unseen, fetched, routed, extracted, mem_extracted, assets):
             df.unpersist()
+        mark("commit", t0)
+        if trace:
+            print(
+                f"EPOCH_TRACE epoch={epoch} n_sched={n_sched} "
+                + " ".join(f"{k}={v:.2f}s" for k, v in _marks)
+            )
         return n_sched, n_pending
 
     def _bloom_schema(self) -> T.StructType:

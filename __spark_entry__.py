@@ -111,6 +111,33 @@ def _q_topk_events_per_user(spark, sf):
     )
 
 
+def _q_budgeted_topk(spark, sf):
+    """per_host_topk with a PER-KEY budget table (the robots
+    crawl_delay-derived token path): each user's cap varies, missing
+    users fall back to k, budgets above k clamp to k."""
+    from web_archive_downloader_spark.operators.schedule import per_host_topk
+
+    ev = _t(spark, sf, "events")
+    frontier = ev.select(
+        F.concat(F.lit("https://u/"), F.col("event_id").cast("string")).alias("url"),
+        F.col("user_id").alias("host"),
+        F.lit(0.0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("event_id").alias("seq"),
+    )
+    budgets = (
+        ev.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the keys get explicit budgets
+        .select(
+            F.col("user_id").alias("host"),
+            (F.col("user_id") % 5 + 1).cast("int").alias("host_budget"),
+        )
+    )
+    return per_host_topk(frontier, k=3, salt_buckets=4, budgets=budgets).select(
+        F.col("host").alias("user_id"), F.col("seq").alias("event_id"), "host_rank"
+    )
+
+
 def _q_route_counts(spark, sf):
     ev = _t(spark, sf, "events")
     outcome = (
@@ -511,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "customers_no_orders": _q_customers_no_orders,
         "topk_events_per_user": _q_topk_events_per_user,
+        "budgeted_topk": _q_budgeted_topk,
         "route_counts": _q_route_counts,
         "backoff": _q_backoff,
         "sanitize_docs": _q_sanitize_docs,
@@ -695,6 +723,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, rn AS rank, event_id, value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
                   FROM events) WHERE rn <= 3
+        """,
+        "budgeted_topk": """
+            SELECT user_id, event_id, host_rank
+            FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS host_rank
+              FROM events
+            ) r
+            WHERE host_rank <= least(
+              CASE WHEN user_id % 2 = 0 THEN CAST(user_id % 5 + 1 AS INT) ELSE 3 END, 3)
         """,
         "route_counts": """
             SELECT CASE

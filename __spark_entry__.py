@@ -400,6 +400,39 @@ def _q_memento_nav(spark, sf):
     )
 
 
+def _q_user_sessions(spark, sf):
+    """Gap-based sessionization (classic lag + conditional cumsum
+    window chain): a new session starts when a user's inter-event gap
+    exceeds 30 minutes. Output: per-session row counts + bounds."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fixtures carry TIMESTAMP_NTZ; session tz is UTC, so the
+    # epoch-seconds view matches DuckDB's epoch()
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch_s - F.lag(epoch_s).over(w)
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+def _q_value_percentiles(spark, sf):
+    """Exact percentiles per group (F.percentile — NOT the sketch-based
+    approx_percentile, so the DuckDB twin matches exactly)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def _q_windowed_rates(spark, sf):
     from web_archive_downloader_spark.streaming.events import windowed_event_rates
 
@@ -564,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_header": _q_markdown_header,
         "json_extract": _q_json_extract,
         "memento_nav": _q_memento_nav,
+        "user_sessions": _q_user_sessions,
+        "value_percentiles": _q_value_percentiles,
         "windowed_rates": _q_windowed_rates,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "top_customers": _q_top_customers,
@@ -992,6 +1027,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN contains(coalesce(regexp_extract(uri0, '^[a-z]+://([^/]+)', 1), ''), 'web.archive.org') THEN 'loop'
                         ELSE 'found' END AS lookup_result
             FROM nav
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+            FROM s GROUP BY user_id, session_id
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "windowed_rates": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -458,8 +458,13 @@ def embedding_neardup_lsh(
         F.struct(F.lit(t).alias("tbl"), sign_bucket_col(F.col("v"), planes).alias("b"))
         for t, planes in enumerate(tables)
     ]
-    eb = e.select("vec_id", F.explode(F.array(*buckets)).alias("tb")).select(
-        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.b").alias("b")
+    # materialize bucket ids once: the self-join would otherwise
+    # evaluate all n_tables * n_planes dot-product expressions twice
+    # (once per side); the bucket table is (vec_id, tbl, b) — tiny
+    eb = (
+        e.select("vec_id", F.explode(F.array(*buckets)).alias("tb"))
+        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.b").alias("b"))
+        .localCheckpoint(eager=True)
     )
     l, r = eb.alias("l"), eb.alias("r")
     cands = (

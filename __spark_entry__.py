@@ -400,6 +400,30 @@ def _q_memento_nav(spark, sf):
     )
 
 
+def _q_asof_last_purchase(spark, sf):
+    """AS-OF join: each click event attaches the user's latest
+    purchase at-or-before the click (union-tag + single window — one
+    shuffle, no range join; see operators/asof.py)."""
+    from web_archive_downloader_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts", id_col="event_id",
+        right_values=["event_id", "value"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("asof_event_id").alias("purchase_id"),
+        F.round("asof_value", 2).alias("purchase_value"),
+    )
+
+
 def _q_user_sessions(spark, sf):
     """Gap-based sessionization (classic lag + conditional cumsum
     window chain): a new session starts when a user's inter-event gap
@@ -597,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_header": _q_markdown_header,
         "json_extract": _q_json_extract,
         "memento_nav": _q_memento_nav,
+        "asof_last_purchase": _q_asof_last_purchase,
         "user_sessions": _q_user_sessions,
         "value_percentiles": _q_value_percentiles,
         "windowed_rates": _q_windowed_rates,
@@ -1027,6 +1052,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN contains(coalesce(regexp_extract(uri0, '^[a-z]+://([^/]+)', 1), ''), 'web.archive.org') THEN 'loop'
                         ELSE 'found' END AS lookup_result
             FROM nav
+        """,
+        "asof_last_purchase": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, 0 AS tag,
+                     CASE WHEN TRUE THEN {'rid': event_id, 'rval': value} END AS r
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, event_id, 1, NULL
+              FROM events WHERE event_type = 'click'
+            ),
+            c AS (
+              SELECT user_id, ts, event_id, tag,
+                     last_value(r IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, tag, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS asof_r
+              FROM u
+            )
+            SELECT user_id, event_id AS click_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   asof_r.rid AS purchase_id,
+                   round(asof_r.rval, 2) AS purchase_value
+            FROM c WHERE tag = 1
         """,
         "user_sessions": """
             WITH g AS (

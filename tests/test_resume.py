@@ -60,6 +60,43 @@ def test_kill_and_resume_identical(spark, tmp_path):
     assert resumed[3] == full[3]  # asset names
 
 
+def test_compaction_preserves_state_and_resume(spark, tmp_path):
+    """StateStore.compact: epoch dirs collapse to one with identical
+    rows; a crawl resumed AFTER compaction completes with the same
+    outputs; rollback past the compaction point is refused (Iceberg
+    snapshot-expiry semantics)."""
+    import pytest
+    from web_archive_downloader_spark.plans.crawl import URL_SEEN_SCHEMA
+
+    raw = gen_cdx_records(n_urls=N, seed=11)
+    cfg = default_config(epoch_seconds=25.0)
+
+    # reference run, no compaction
+    store_a, _, docs_a, assets_a = _run_full(spark, str(tmp_path / "nc"), cfg, raw)
+    full = _snapshot(store_a, docs_a, assets_a)
+
+    # second run: stop midway, compact url_seen, resume
+    store = StateStore(str(tmp_path / "c"), spark)
+    plan = CrawlPlan(spark, store, cfg)
+    plan.run(cdx_dataframe(spark, raw), max_epochs=3)
+    before = sorted(
+        (r.url, r.seq) for r in store.read("url_seen", URL_SEEN_SCHEMA).collect()
+    )
+    n_dirs = store.compact("url_seen")
+    assert n_dirs >= 2
+    after = sorted(
+        (r.url, r.seq) for r in store.read("url_seen", URL_SEEN_SCHEMA).collect()
+    )
+    assert after == before
+    with pytest.raises(ValueError, match="compacted"):
+        store.truncate_to_epoch(0)
+
+    plan2 = CrawlPlan(spark, store, cfg)
+    plan2.run(cdx_dataframe(spark, raw), resume=True)
+    docs2, assets2 = plan2.finalize_outputs()
+    assert _snapshot(store, docs2, assets2) == full
+
+
 def test_checkpoint_skip(spark, tmp_path):
     """Pre-seeded url_seen rows are skipped exactly like the
     reference's checkpoint (main.py:62-64): not refetched, not in

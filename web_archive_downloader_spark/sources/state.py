@@ -93,11 +93,50 @@ class StateStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(paths[-1])
 
-    def truncate_to_epoch(self, epoch: int) -> None:
-        """Test helper: roll the manifest back (kill-and-resume tests)."""
+    def compact(self, table: str, schema: T.StructType | None = None) -> int:
+        """Snapshot compaction (Iceberg's rewrite_data_files): merge a
+        table's accumulated epoch dirs into ONE dir and atomically
+        swap the manifest to point at it. Readers before the swap see
+        the old dirs; after, the single compacted dir — same rows
+        either way (append-only tables only; not for frontier-style
+        replace tables, which read_latest_only already bounds).
+
+        At crawl scale this is what keeps url_seen readable: 10^4
+        epochs otherwise mean 10^4 directory listings per epoch read.
+        Returns the number of epoch dirs collapsed."""
         manifest = self.read_manifest()
+        paths = manifest["tables"].get(table, [])
+        if len(paths) <= 1:
+            return 0
+        df = self.spark.read.parquet(*paths)
+        compact_path = os.path.join(
+            self.root, table, f"compacted={manifest['epoch']}"
+        )
+        df.write.mode("overwrite").parquet(compact_path)
+        manifest["tables"][table] = [compact_path]
+        # like Iceberg snapshot expiry: history before the compaction
+        # point is gone — rollback past it must be refused
+        manifest.setdefault("compaction_floor", {})[table] = manifest["epoch"]
+        self._write_manifest(manifest)  # atomic swap
+        for p in paths:  # old dirs are now unreferenced
+            shutil.rmtree(p, ignore_errors=True)
+        return len(paths)
+
+    def truncate_to_epoch(self, epoch: int) -> None:
+        """Test helper: roll the manifest back (kill-and-resume tests).
+        Refuses to roll back past a compaction point — that history
+        was rewritten away (Iceberg snapshot-expiry semantics)."""
+        manifest = self.read_manifest()
+        for t, floor in manifest.get("compaction_floor", {}).items():
+            if epoch < floor:
+                raise ValueError(
+                    f"cannot truncate {t} to epoch {epoch}: compacted at {floor}"
+                )
         manifest["tables"] = {
-            t: [p for p in ps if int(p.rsplit("epoch=", 1)[1]) <= epoch]
+            t: [
+                p for p in ps
+                if "epoch=" not in p or int(p.rsplit("epoch=", 1)[1]) <= epoch
+            ]
             for t, ps in manifest["tables"].items()
         }
         manifest["tables"] = {t: ps for t, ps in manifest["tables"].items() if ps}

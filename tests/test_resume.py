@@ -97,6 +97,22 @@ def test_compaction_preserves_state_and_resume(spark, tmp_path):
     assert _snapshot(store, docs2, assets2) == full
 
 
+def test_inloop_compaction_equivalent(spark, tmp_path):
+    """compact_every_epochs=2: a crawl that compacts its state tables
+    every 2 epochs produces identical outputs to one that never does."""
+    raw = gen_cdx_records(n_urls=30, seed=17)
+    base = default_config(epoch_seconds=20.0)
+
+    s1, _, d1, a1 = _run_full(spark, str(tmp_path / "p"), base, raw)
+    s2, _, d2, a2 = _run_full(
+        spark, str(tmp_path / "q"), base.with_(compact_every_epochs=2), raw
+    )
+    assert _snapshot(s2, d2, a2) == _snapshot(s1, d1, a1)
+    # compaction actually ran: url_seen manifest is a single compacted dir
+    paths = s2.read_manifest()["tables"]["url_seen"]
+    assert any("compacted=" in p for p in paths)
+
+
 def test_checkpoint_skip(spark, tmp_path):
     """Pre-seeded url_seen rows are skipped exactly like the
     reference's checkpoint (main.py:62-64): not refetched, not in

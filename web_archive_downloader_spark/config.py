@@ -83,6 +83,10 @@ class EngineConfig:
     # Cap on <a href> links taken per page during expansion (canonical
     # sorted order, so the cap is deterministic).
     max_links_per_page: int = 64
+    # Compact the small state tables every K epochs (0 = never).
+    # Keeps long crawls' manifest-dir unions bounded; forecloses
+    # rollback past the compaction point (Iceberg expiry semantics).
+    compact_every_epochs: int = 0
 
     def __post_init__(self) -> None:
         if self.request_delay_seconds < 0:

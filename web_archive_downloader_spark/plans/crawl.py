@@ -646,12 +646,20 @@ class CrawlPlan:
             manifest["tables"].setdefault("frontier", []).append(path)
             store._write_manifest(manifest)
         pending = store.read_latest_only("frontier", FRONTIER_SCHEMA).count()
+        compact_every = self.config.compact_every_epochs
         for epoch in range(start_epoch, max_epochs):
             if pending == 0:
                 break
             n, pending = self.run_epoch(epoch)
             stats.epochs += 1
             stats.scheduled += n
+            if compact_every and (epoch + 1) % compact_every == 0:
+                # bound the per-epoch manifest-dir unions on long
+                # crawls; data tables (docs/assets/images/html) stay
+                # append-only — rewriting payload bytes every K epochs
+                # would dwarf the listing cost they'd save
+                for t in ("url_seen", "processed", "lineage", "metrics", "bloom"):
+                    store.compact(t)
         return stats
 
     # ---- finalize: names + markdown + final docs table ----

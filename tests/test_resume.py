@@ -68,14 +68,10 @@ def test_compaction_preserves_state_and_resume(spark, tmp_path):
     import pytest
     from web_archive_downloader_spark.plans.crawl import URL_SEEN_SCHEMA
 
-    raw = gen_cdx_records(n_urls=N, seed=11)
-    cfg = default_config(epoch_seconds=25.0)
+    raw = gen_cdx_records(n_urls=30, seed=17)
+    cfg = default_config(epoch_seconds=20.0)
 
-    # reference run, no compaction
-    store_a, _, docs_a, assets_a = _run_full(spark, str(tmp_path / "nc"), cfg, raw)
-    full = _snapshot(store_a, docs_a, assets_a)
-
-    # second run: stop midway, compact url_seen, resume
+    # run midway, compact url_seen, resume to completion
     store = StateStore(str(tmp_path / "c"), spark)
     plan = CrawlPlan(spark, store, cfg)
     plan.run(cdx_dataframe(spark, raw), max_epochs=3)
@@ -93,21 +89,31 @@ def test_compaction_preserves_state_and_resume(spark, tmp_path):
 
     plan2 = CrawlPlan(spark, store, cfg)
     plan2.run(cdx_dataframe(spark, raw), resume=True)
-    docs2, assets2 = plan2.finalize_outputs()
-    assert _snapshot(store, docs2, assets2) == full
+    docs2, _ = plan2.finalize_outputs()
+    oracle = run_oracle(raw, cfg)
+    got = {r.url: (r.title, r.dir, r.filename, r.markdown) for r in docs2.collect()}
+    exp = {d["url"]: (d["title"], d["dir"], d["filename"], d["markdown"]) for d in oracle.docs}
+    assert got == exp
+    seen = [r.url for r in store.read("url_seen", URL_SEEN_SCHEMA).orderBy("seq").collect()]
+    assert seen == oracle.seen
 
 
 def test_inloop_compaction_equivalent(spark, tmp_path):
     """compact_every_epochs=2: a crawl that compacts its state tables
-    every 2 epochs produces identical outputs to one that never does."""
+    every 2 epochs matches the oracle exactly (order, seen, doc bytes)."""
     raw = gen_cdx_records(n_urls=30, seed=17)
-    base = default_config(epoch_seconds=20.0)
+    cfg = default_config(epoch_seconds=20.0, compact_every_epochs=2)
 
-    s1, _, d1, a1 = _run_full(spark, str(tmp_path / "p"), base, raw)
-    s2, _, d2, a2 = _run_full(
-        spark, str(tmp_path / "q"), base.with_(compact_every_epochs=2), raw
+    s2, _, d2, a2 = _run_full(spark, str(tmp_path / "q"), cfg, raw)
+    oracle = run_oracle(raw, cfg)
+    order, seen, doc_rows, _ = _snapshot(s2, d2, a2)
+    assert order == oracle.crawl_order
+    assert seen == oracle.seen
+    exp_rows = sorted(
+        (d["url"], d["ts"], d["via"], d["title"], d["dir"], d["filename"], d["markdown"])
+        for d in oracle.docs
     )
-    assert _snapshot(s2, d2, a2) == _snapshot(s1, d1, a1)
+    assert doc_rows == exp_rows
     # compaction actually ran: url_seen manifest is a single compacted dir
     paths = s2.read_manifest()["tables"]["url_seen"]
     assert any("compacted=" in p for p in paths)

@@ -316,6 +316,25 @@ def _q_text_stats(spark, sf):
     return document_stats(_t(spark, sf, "documents"))
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic hash-based stratified sampling — the
+    training-data downsampling primitive. Per-language keep rates
+    applied via a PORTABLE md5-derived hash of the doc id (never an
+    RNG: resumable, cluster-size-independent, reproducible across
+    engines — the DuckDB twin computes the identical hash). Pure
+    projection + filter: no shuffle, predicate folds into the scan."""
+    from web_archive_downloader_spark.functions.textstats import md5_hash56_col
+
+    d = _t(spark, sf, "documents")
+    bucket = F.pmod(md5_hash56_col(F.col("doc_id").cast("string")), F.lit(1000))
+    rate = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang") == "fr", 300)
+        .otherwise(100)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang", bucket.alias("sample_bucket"))
+
+
 def _doc_url():
     return F.concat(
         F.lit("https://ex.com/"), F.col("source"), F.lit("/sub%20dir/item-"),
@@ -616,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "ann_bruteforce": _q_ann_bruteforce,
         "text_stats": _q_text_stats,
+        "stratified_sample": _q_stratified_sample,
         "page_dir": _q_page_dir,
         "url_parts": _q_url_parts,
         "markdown_header": _q_markdown_header,
@@ -1168,6 +1188,14 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang,
+                   {_H56.format(x="doc_id::VARCHAR")} % 1000 AS sample_bucket
+            FROM documents
+            WHERE {_H56.format(x="doc_id::VARCHAR")} % 1000 <
+                  CASE WHEN lang = 'en' THEN 500
+                       WHEN lang = 'fr' THEN 300 ELSE 100 END
         """,
         "rollup_revenue": """
             SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -5,6 +5,6 @@ from web_archive_downloader_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", cores=8, shuffle_partitions=8)
+    s = get_spark("tests", cores=16, shuffle_partitions=16)
     yield s
     s.stop()

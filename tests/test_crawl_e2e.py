@@ -14,7 +14,7 @@ from web_archive_downloader_spark.plans.crawl import CrawlPlan
 from web_archive_downloader_spark.sources.cdx import cdx_dataframe
 from web_archive_downloader_spark.sources.state import StateStore
 
-N_URLS = 150
+N_URLS = 110
 
 
 @pytest.fixture(scope="module")

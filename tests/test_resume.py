@@ -13,7 +13,7 @@ from web_archive_downloader_spark.plans.crawl import (
 from web_archive_downloader_spark.sources.cdx import cdx_dataframe
 from web_archive_downloader_spark.sources.state import StateStore
 
-N = 42
+N = 30
 
 
 def _run_full(spark, store_dir, cfg, raw):
@@ -38,7 +38,7 @@ def _snapshot(store, docs, assets):
 
 def test_kill_and_resume_identical(spark, tmp_path):
     raw = gen_cdx_records(n_urls=N, seed=11)
-    cfg = default_config(epoch_seconds=25.0)  # small budget -> several epochs
+    cfg = default_config(epoch_seconds=20.0, max_retries=2)  # small budget -> several epochs
 
     store, plan, docs, assets = _run_full(spark, str(tmp_path / "a"), cfg, raw)
     full = _snapshot(store, docs, assets)
@@ -69,7 +69,7 @@ def test_compaction_preserves_state_and_resume(spark, tmp_path):
     from web_archive_downloader_spark.plans.crawl import URL_SEEN_SCHEMA
 
     raw = gen_cdx_records(n_urls=30, seed=17)
-    cfg = default_config(epoch_seconds=20.0)
+    cfg = default_config(epoch_seconds=20.0, max_retries=2)
 
     # run midway, compact url_seen, resume to completion
     store = StateStore(str(tmp_path / "c"), spark)
@@ -102,7 +102,7 @@ def test_inloop_compaction_equivalent(spark, tmp_path):
     """compact_every_epochs=2: a crawl that compacts its state tables
     every 2 epochs matches the oracle exactly (order, seen, doc bytes)."""
     raw = gen_cdx_records(n_urls=30, seed=17)
-    cfg = default_config(epoch_seconds=20.0, compact_every_epochs=2)
+    cfg = default_config(epoch_seconds=20.0, compact_every_epochs=2, max_retries=2)
 
     s2, _, d2, a2 = _run_full(spark, str(tmp_path / "q"), cfg, raw)
     oracle = run_oracle(raw, cfg)
@@ -124,7 +124,7 @@ def test_checkpoint_skip(spark, tmp_path):
     reference's checkpoint (main.py:62-64): not refetched, not in
     crawl order, but present in final seen set."""
     raw = gen_cdx_records(n_urls=N, seed=11)
-    cfg = default_config(epoch_seconds=60.0)
+    cfg = default_config(epoch_seconds=60.0, max_retries=2)
 
     # take some urls that WOULD be crawled, pretend they're done
     oracle_all = run_oracle(raw, cfg)

@@ -57,8 +57,8 @@ def test_robots_budgets_and_refresh(spark):
 
 
 def test_crawl_with_robots_matches_oracle(spark, tmp_path):
-    raw = gen_cdx_records(n_urls=40, seed=21)
-    cfg = default_config(epoch_seconds=90.0, respect_robots=True)
+    raw = gen_cdx_records(n_urls=32, seed=21)
+    cfg = default_config(epoch_seconds=90.0, respect_robots=True, max_retries=2)
 
     # fixture robots rules over the target host
     hosts = ["ex.com"]
@@ -96,9 +96,10 @@ def test_crawl_with_robots_matches_oracle(spark, tmp_path):
 
 
 def test_link_expansion_deterministic(spark, tmp_path):
-    raw = gen_cdx_records(n_urls=12, seed=33)
+    raw = gen_cdx_records(n_urls=10, seed=33)
     cfg = default_config(
-        epoch_seconds=120.0, expand_links=True, max_depth=1, max_links_per_page=16
+        epoch_seconds=120.0, expand_links=True, max_depth=1,
+        max_links_per_page=12, max_retries=1,
     )
 
     def run(path):

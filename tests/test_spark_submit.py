@@ -31,8 +31,11 @@ def test_spark_submit_py_files(tmp_path):
             "--master", "local[4]",
             "--py-files", pkg_zip,
             "--conf", "spark.ui.enabled=false",
+            # also covers the submit_job contract that an explicit
+            # --conf beats its local default of 16
+            "--conf", "spark.sql.shuffle.partitions=4",
             os.path.join(REPO, "submit_job.py"),
-            "36",
+            "30",
         ],
         capture_output=True,
         text=True,

@@ -74,6 +74,39 @@ def test_neardup_lsh_no_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_q6_filters_reach_scan(spark):
+    """revenue_forecast is pure scan-filter-agg: every predicate
+    pushes into the parquet scan; exactly one exchange (the global
+    agg's single-row reduction)."""
+    import re
+
+    q = entry_mod.queries()["revenue_forecast"](spark, SF)
+    plan = _plan(q)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be the union-tag + window construction:
+    one exchange per key column, no SortMergeJoin cross products, no
+    cartesian/BNLJ."""
+    q = entry_mod.queries()["asof_last_purchase"](spark, SF)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan and "Union" in plan
+
+
+def test_stratified_sample_stays_scan_side(spark):
+    """Hash-bucket sampling is a projection + filter — no shuffle, no
+    Python, whole-stage codegen."""
+    q = entry_mod.queries()["stratified_sample"](spark, SF)
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+
+
 def test_global_topk_is_take_ordered(spark):
     """Global top-k must compile to TakeOrderedAndProject
     (per-partition top-k + merge), not a single-partition global

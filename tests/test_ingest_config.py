@@ -174,3 +174,34 @@ def test_expand_depth_guard():
     with pytest.raises(ValueError, match="max_depth"):
         EngineConfig(expand_links=True, max_depth=3)
     EngineConfig(expand_links=True, max_depth=2)  # fine
+
+
+def test_cdx_nonnumeric_status_null_pads(spark):
+    """Real Wayback feeds use '-' for revisit records' status — ingest
+    must null-pad (the documented malformed-row contract), not crash."""
+    raw = [
+        ["https://example.com/a", "20200101000000", "text/html", 200],
+        ["https://example.com/b", "20200102000000", "text/html", "-"],
+        ["https://example.com/c", "20200103000000", "text/html", None],
+    ]
+    df = cdx_dataframe(spark, raw)
+    got = {r.url: r.status for r in df.collect()}
+    assert got["https://example.com/b"] is None
+    assert got["https://example.com/a"] == 200
+
+
+def test_strict_filter_drops_null_status_rows(spark):
+    """F2/F3 null semantics: a mixed feed carrying nulls on genuinely
+    non-200 rows leaks through prefiltered mode by design; strict mode
+    (prefiltered_feed=False) drops every null-status/mimetype row."""
+    raw = [
+        ["https://example.com/ok", "20200101000000", "text/html", 200],
+        ["https://example.com/sneaky", "20200102000000", None, None],  # a 500 whose feed lost the columns
+        ["https://example.com/pdf", "20200103000000", "application/pdf", 200],
+        ["https://example.com/revisit", "20200104000000", "text/html", "-"],
+    ]
+    df = cdx_dataframe(spark, raw)
+    default = {r.url for r in cdx_server_filter(df).collect()}
+    assert "https://example.com/sneaky" in default  # documented null-pass
+    strict = cdx_server_filter(df, prefiltered_feed=False)
+    assert [r.url for r in strict.collect()] == ["https://example.com/ok"]

@@ -223,3 +223,38 @@ def test_per_host_topk_budget_and_order(spark):
     # salted two-phase == unsalted result
     unsalted = per_host_topk(df, k=10, salt_buckets=1)
     assert sorted(r.url for r in out.collect()) == sorted(r.url for r in unsalted.collect())
+
+
+def test_asof_passthrough_no_duplication(spark):
+    """Left passthrough columns ride the union-tag window itself; an
+    id_col value repeating across timestamps within a key (allowed by
+    the (key, ts)-uniqueness contract) must NOT duplicate left rows,
+    and each row keeps ITS OWN passthrough values."""
+    from web_archive_downloader_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "t": [5, 9],
+                "lid": [1, 1],  # repeats across ts within the key
+                "note": ["x", "y"],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "t": [4, 8],
+                "lid": [50, 51],
+                "rid": [50, 51],
+                "v": [1.0, 2.0],
+            }
+        )
+    )
+    out = asof_join(left, right, "k", "t", "lid", ["rid", "v"]).collect()
+    assert len(out) == 2  # the old re-join emitted 4
+    by_t = {r.t: (r.asof_rid, r.note) for r in out}
+    assert by_t[5] == (50, "x")
+    assert by_t[9] == (51, "y")

@@ -109,3 +109,32 @@ def test_windowed_rates_stream_matches_batch(spark, tmp_path):
     assert len(emitted_windows) >= len(all_windows) - 2
     for k, v in s.items():
         assert b[k] == v
+
+
+def test_drain_empty_inbox_returns_empty_frontier(spark, tmp_path):
+    """An inbox with no landed batch yet is a valid empty frontier,
+    not a path-not-found/schema-inference error."""
+    got = drain_frontier_inbox(spark, str(tmp_path / "never_written"))
+    assert got.count() == 0
+    assert set(got.columns) == {
+        "url", "ts", "host", "depth", "priority", "seq", "attempt", "eligible_epoch"
+    }
+
+
+def test_frontier_feed_applies_server_filter(spark, tmp_path):
+    """A status-bearing shard's non-200 / non-html rows must not enter
+    the frontier via streaming (same F2/F3 gate as the batch seed)."""
+    from web_archive_downloader_spark.streaming.events import CDX_STREAM_SCHEMA
+
+    rows = [
+        ("https://ex.com/good", "20230101000000", "text/html", 200, 0),
+        ("https://ex.com/gone", "20230101000000", "text/html", 404, 1),
+        ("https://ex.com/pdf", "20230101000000", "application/pdf", 200, 2),
+        ("https://ex.com/prefiltered", "20230101000000", "text/html", None, 3),
+    ]
+    in_dir, inbox, ckpt = (str(tmp_path / d) for d in ("in", "inbox", "ck"))
+    spark.createDataFrame(rows, CDX_STREAM_SCHEMA).write.parquet(in_dir + "/s1")
+    q = stream_frontier_feed(spark, in_dir + "/*", inbox, ckpt)
+    q.awaitTermination(120)
+    got = {r.url for r in drain_frontier_inbox(spark, inbox).collect()}
+    assert got == {"https://ex.com/good", "https://ex.com/prefiltered"}

@@ -83,6 +83,10 @@ class EngineConfig:
     # Cap on <a href> links taken per page during expansion (canonical
     # sorted order, so the cap is deterministic).
     max_links_per_page: int = 64
+    # CDX feed provenance (F2/F3 null semantics, sources/cdx.py):
+    # True = feed was server-filtered upstream, null status/mimetype
+    # rows pass; False = mixed feed, nulls drop (strict 200+text/html).
+    prefiltered_feed: bool = True
     # Compact the small state tables every K epochs (0 = never).
     # Keeps long crawls' manifest-dir unions bounded; forecloses
     # rollback past the compaction point (Iceberg expiry semantics).

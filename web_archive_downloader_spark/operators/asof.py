@@ -38,16 +38,24 @@ def asof_join(
     v in right_values (null when no right row has right.ts <= left.ts).
 
     Both inputs must carry (key, ts, id_col); id_col must be unique
-    within (key, ts) on each side for full determinism."""
+    within (key, ts) on each side for full determinism. Left
+    passthrough columns RIDE the union-tag rows (null on right-tagged
+    rows) rather than being re-joined afterwards — a re-join on
+    (key, id_col) would duplicate left rows whenever id_col repeats
+    across timestamps within a key, which the (key, ts)-uniqueness
+    contract permits."""
     lcols = left.columns
+    passthrough = [c for c in lcols if c not in (key, ts, id_col)]
     rstruct = F.struct(*[F.col(v).alias(v) for v in right_values])
     tagged_r = right.select(
         F.col(key), F.col(ts), F.col(id_col),
         F.lit(0).alias("__tag"), rstruct.alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in passthrough],
     )
     tagged_l = left.select(
         F.col(key), F.col(ts), F.col(id_col),
         F.lit(1).alias("__tag"), F.lit(None).cast(tagged_r.schema["__r"].dataType).alias("__r"),
+        *passthrough,
     )
     unioned = tagged_r.unionByName(tagged_l)
 
@@ -61,13 +69,7 @@ def asof_join(
     )
     carried = unioned.withColumn("__asof", F.last("__r", ignorenulls=True).over(w))
     matched = carried.filter(F.col("__tag") == 1).select(
-        F.col(key), F.col(ts), F.col(id_col),
+        F.col(key), F.col(ts), F.col(id_col), *passthrough,
         *[F.col("__asof").getField(v).alias(f"asof_{v}") for v in right_values],
     )
-    # re-attach any remaining left columns by the (unique) id
-    passthrough = [c for c in lcols if c not in (key, ts, id_col)]
-    if passthrough:
-        matched = matched.join(
-            left.select(key, id_col, *passthrough), [key, id_col]
-        )
     return matched.select(*lcols, *[f"asof_{v}" for v in right_values])

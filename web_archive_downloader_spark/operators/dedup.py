@@ -415,6 +415,18 @@ NEARDUP_TABLES = 8
 NEARDUP_PLANES = 5
 
 
+def neardup_planes_for(n_rows: int, target_bucket_rows: int = 4096) -> int:
+    """Corpus-sized hyperplane count: enough sign bits that expected
+    bucket occupancy n/2^planes stays ~target_bucket_rows, keeping the
+    within-bucket pair blowup bounded as the corpus scales (see the
+    sizing caveat on embedding_neardup_lsh). Clamped to [5, 24]."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return NEARDUP_PLANES
+    return max(NEARDUP_PLANES, min(24, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def neardup_hyperplanes(
     dim: int = NEARDUP_DIM,
     n_tables: int = NEARDUP_TABLES,
@@ -449,7 +461,17 @@ def embedding_neardup_lsh(
     collides in one table with prob (1 - t/pi)^n_planes; misses decay
     exponentially in n_tables (recall-tested vs the exact variant on
     planted near-dups). Candidates that DO surface get the exact
-    cosine, so precision is 1.0 vs the exact variant."""
+    cosine, so precision is 1.0 vs the exact variant.
+
+    SIZING CAVEAT: 'never quadratic in the corpus' is a constant-factor
+    claim at fixed geometry — n_planes=5 gives 2^5=32 buckets per
+    table, so expected candidate pairs grow ~n^2/32 per table. For a
+    corpus of n vectors, size n_planes ~ log2(n / target_bucket_rows)
+    (e.g. n=10^9, 10^4 rows/bucket -> ~17 planes) so per-bucket
+    occupancy — and hence pair count per bucket — stays bounded as the
+    corpus grows. The CHECKED query pins n_planes=5 because the DuckDB
+    twin replays the same literal hyperplanes; production callers pass
+    corpus-sized n_planes (`neardup_planes_for(n)` below)."""
     from .ann import cosine_expr, sign_bucket_col
 
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))

@@ -142,15 +142,16 @@ _POS_BITS = 20
 _MD_POS = (1 << _POS_BITS) - 1
 
 
-def seed_frontier_from_cdx(cdx: DataFrame) -> DataFrame:
+def seed_frontier_from_cdx(cdx: DataFrame, prefiltered_feed: bool = True) -> DataFrame:
     """CDX table -> initial frontier: F2/F3 server-filter analog
     (statuscode:200 + mimetype:text/html, pushed into the scan), F4/F5
     validation, A1 latest-per-URL with first-appearance seq, host
-    extraction, depth 0."""
+    extraction, depth 0. ``prefiltered_feed`` sets the null semantics
+    (see sources/cdx.py:cdx_server_filter)."""
     from ..sources.cdx import cdx_server_filter
 
     if "status" in cdx.columns:
-        cdx = cdx_server_filter(cdx)
+        cdx = cdx_server_filter(cdx, prefiltered_feed=prefiltered_feed)
     latest = latest_snapshot_per_url(valid_cdx(cdx))
     return latest.select(
         "url",
@@ -639,7 +640,9 @@ class CrawlPlan:
         store = self.store
         start_epoch = store.last_epoch + 1
         if not resume and start_epoch == 0:
-            frontier0 = seed_frontier_from_cdx(cdx)
+            frontier0 = seed_frontier_from_cdx(
+                cdx, prefiltered_feed=self.config.prefiltered_feed
+            )
             path = store.stage("frontier", -1, frontier0)
             # seed commit occupies epoch -1 semantics: write manifest at epoch -1
             manifest = store.read_manifest()

@@ -45,25 +45,39 @@ def cdx_dataframe(spark: SparkSession, raw_records: list[list]) -> DataFrame:
         url = rec[0] if len(rec) > 0 else None
         ts = rec[1] if len(rec) > 1 else None
         mt = rec[2] if len(rec) > 2 else None
-        st = int(rec[3]) if len(rec) > 3 and rec[3] is not None else None
+        # real Wayback CDX feeds use '-' for revisit records' status —
+        # any non-numeric status null-pads (the documented malformed-row
+        # contract) instead of crashing the ingest
+        try:
+            st = int(rec[3]) if len(rec) > 3 and rec[3] is not None else None
+        except (TypeError, ValueError):
+            st = None
         rows.append((url or None, ts or None, mt, st, i))
     return spark.createDataFrame(rows, CDX_SCHEMA)
 
 
-def cdx_server_filter(cdx: DataFrame) -> DataFrame:
+def cdx_server_filter(cdx: DataFrame, prefiltered_feed: bool = True) -> DataFrame:
     """F2/F3: the reference's SERVER-side CDX filters
     (constants.py:38-39, cdx_client.py:26 — 'statuscode:200' +
     'mimetype:text/html') applied at ingest. On a parquet/Iceberg CDX
     dump both predicates push into the scan (asserted in
-    tests/test_plan_shapes.py). Null status/mimetype rows pass: they
-    represent feeds already filtered upstream (the reference never
-    receives non-matching rows at all). The surviving rows keep their
-    original (sparse) seq — first-appearance ordering needs only
+    tests/test_plan_shapes.py).
+
+    ``prefiltered_feed`` controls null handling: with it on (default),
+    null status/mimetype rows PASS — they represent feeds already
+    filtered upstream, where the reference never receives non-matching
+    rows at all. A MIXED feed that carries nulls on genuinely non-200
+    rows would leak through that mode, so feeds of unknown provenance
+    must set prefiltered_feed=False: nulls then DROP (strict
+    status==200 AND mimetype=='text/html'). The surviving rows keep
+    their original (sparse) seq — first-appearance ordering needs only
     relative order, and renumbering would be a global sort."""
-    return cdx.filter(
-        (F.col("status").isNull() | (F.col("status") == 200))
-        & (F.col("mimetype").isNull() | (F.col("mimetype") == "text/html"))
-    )
+    if prefiltered_feed:
+        return cdx.filter(
+            (F.col("status").isNull() | (F.col("status") == 200))
+            & (F.col("mimetype").isNull() | (F.col("mimetype") == "text/html"))
+        )
+    return cdx.filter((F.col("status") == 200) & (F.col("mimetype") == "text/html"))
 
 
 def read_cdx_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -30,6 +30,7 @@ CDX_STREAM_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("ts", T.StringType()),
         T.StructField("mimetype", T.StringType()),
+        T.StructField("status", T.IntegerType()),  # null on prefiltered shards
         T.StructField("seq", T.LongType()),
     ]
 )
@@ -69,12 +70,17 @@ def stream_frontier_feed(
     epoch loop drains the inbox between epochs with
     ``drain_frontier_inbox`` — seen-set dedup stays in the epoch
     anti-join, which needs the full membership state (batch side)."""
+    from ..sources.cdx import cdx_server_filter
+
     raw = (
         spark.readStream.schema(CDX_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(in_dir)
     )
-    feed = valid_cdx(raw).select(
+    # same F2/F3 gate as the batch seed path: a status-bearing shard's
+    # non-200 / non-html rows must not enter the frontier via streaming
+    # (shards missing the columns read as null and pass — prefiltered)
+    feed = valid_cdx(cdx_server_filter(raw)).select(
         "url",
         "ts",
         F.parse_url("url", F.lit("HOST")).alias("host"),
@@ -100,7 +106,17 @@ def drain_frontier_inbox(spark: SparkSession, inbox_dir: str) -> DataFrame:
     """Read all landed feed batches as frontier-candidate rows (the
     epoch loop unions this with the frontier and lets the J1 anti-join
     dedup against url_seen). Drops the batch-id partition column —
-    it is commit bookkeeping, not frontier state."""
+    it is commit bookkeeping, not frontier state. An inbox with no
+    landed batch yet (stream started, nothing triggered) is a valid
+    empty frontier, not a read error."""
+    import os
+
+    from ..plans.crawl import FRONTIER_SCHEMA
+
+    if not os.path.isdir(inbox_dir) or not any(
+        e.startswith("batch=") for e in os.listdir(inbox_dir)
+    ):
+        return spark.createDataFrame([], FRONTIER_SCHEMA)
     return spark.read.parquet(inbox_dir).drop("batch")
 
 

@@ -226,3 +226,44 @@ def test_embedding_neardup_lsh_vs_exact(emb, spark):
         assert (i, i + 100000) in lsh  # identical vectors never miss
     for pair, cos in lsh.items():
         assert exact.get(pair) == cos  # blocked pairs are a subset with exact cosines
+
+
+def test_local_topk_reduce_bounds_and_exactness(emb, spark):
+    """local_topk_reduce: each partition emits <= k rows per query,
+    the union contains the global top-k, and brute_force_topk built on
+    it equals a reference global-window rank computed directly."""
+    from pyspark.sql import Window
+
+    from web_archive_downloader_spark.operators.ann import (
+        cosine_expr,
+        local_topk_reduce,
+    )
+
+    k, n_parts = 5, 8
+    qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).repartition(n_parts)
+    q = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cos"),
+    )
+    reduced = local_topk_reduce(scored, k)
+    # bound: <= k rows per (partition, query)
+    per_pq = (
+        reduced.withColumn("p", F.spark_partition_id())
+        .groupBy("p", "query_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_pq <= k
+    assert reduced.count() <= k * n_parts * len(qids)
+    # exactness: window over reduced rows == window over ALL scored rows
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    def topk(df):
+        return {
+            (r.query_id, r.rank, r.neighbor_id, r.cos)
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).collect()
+        }
+    assert topk(reduced) == topk(scored)

@@ -117,3 +117,16 @@ def test_global_topk_is_take_ordered(spark):
         assert "TakeOrderedAndProject" in plan, name
     plan = _plan(entry_mod.entry(spark))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_bruteforce_rank_is_prereduced(spark):
+    """The brute-force final rank must be distributed: a per-partition
+    top-k (MapInPandas over the scan partitioning, no extra exchange)
+    feeds the per-query window, so no task ever sorts the full scored
+    corpus. The MapInPandas node must sit BELOW the window's exchange."""
+    q = entry_mod.queries()["ann_bruteforce"](spark, SF)
+    plan = _plan(q)
+    assert "MapInPandas" in plan and "Window" in plan
+    # formatted explain prints root-first: the upstream (leaf-ward)
+    # MapInPandas reduction must appear below the downstream Window
+    assert plan.index("MapInPandas") > plan.index("Window")

@@ -17,6 +17,7 @@ Cosine is computed JVM-side with zip_with/aggregate (no UDF).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,11 +32,55 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def local_topk_reduce(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition top-k pre-reduction over a scored relation
+    (query_id, neighbor_id, cos): every partition emits at most k rows
+    per query_id, selected by the SAME total order the final rank uses
+    (cos desc, neighbor_id asc). The union of per-partition top-k
+    contains the global top-k, so a downstream per-query window over
+    the reduced rows (<= k * n_partitions per query) is exact — and no
+    task ever sorts the full corpus, which a bare
+    Window.partitionBy(query_id) would do with one task per query.
+
+    Shape: mapInPandas over the EXISTING partitioning — zero extra
+    shuffle; the cosine values are computed JVM-side upstream and only
+    SELECTED here (Arrow batches), so values are bit-identical. Memory
+    is bounded by one running top-k frame per partition."""
+    from collections.abc import Iterator
+
+    schema = scored.schema
+
+    def reduce_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            merged = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            best = (
+                merged.sort_values(
+                    ["query_id", "cos", "neighbor_id"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+        yield best if best is not None else pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in schema.fields}
+        )
+
+    return scored.mapInPandas(reduce_topk, schema)
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_ids: list[str] | list[int], k: int = 10
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id. Output:
-    (query_id, rank, neighbor_id, cos). Excludes self-matches."""
+    (query_id, rank, neighbor_id, cos). Excludes self-matches.
+
+    Scale shape: the query side is broadcast so the corpus scan is
+    shuffle-free; the rank reduction is DISTRIBUTED — per-partition
+    top-k first (local_topk_reduce), then a per-query window over the
+    <= k * n_partitions survivors. Without the pre-reduction the final
+    window funnels the entire scored corpus into n_queries tasks."""
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     q = e.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -48,9 +93,10 @@ def brute_force_topk(
             F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cos"),
         )
     )
+    reduced = local_topk_reduce(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )

@@ -1,0 +1,194 @@
+"""J1 at scale: bounded Bloom state (versioned sketches, saturation
+cap, pid-pruned cogrouped probe — no O(seen) broadcast) and the
+bucketed url_seen base as the default anti-join path (storage-
+partitioned: the big side never shuffles after bucketize)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_archive_downloader_spark.datagen import default_config, gen_cdx_records
+from web_archive_downloader_spark.operators.seen import (
+    BLOOM_VERSION,
+    BloomSketch,
+    anti_join_unseen,
+    bloom_prefilter_cogrouped,
+    build_bloom_sketches,
+    unseen_with_bloom_state,
+)
+from web_archive_downloader_spark.oracle.simulator import run_oracle
+from web_archive_downloader_spark.plans.crawl import (
+    PROCESSED_SCHEMA,
+    URL_SEEN_SCHEMA,
+    CrawlPlan,
+)
+from web_archive_downloader_spark.sources.cdx import cdx_dataframe
+from web_archive_downloader_spark.sources.state import StateStore
+
+
+def _urls_df(spark, lo, hi, name="url"):
+    return spark.createDataFrame(
+        pd.DataFrame({name: [f"https://e.com/p{i}" for i in range(lo, hi)]})
+    )
+
+
+def _seen_df(spark, lo, hi):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"https://e.com/p{i}" for i in range(lo, hi)],
+                "seq": list(range(lo, hi)),
+                "epoch": [0] * (hi - lo),
+            }
+        ),
+        URL_SEEN_SCHEMA,
+    )
+
+
+def test_cogroup_probe_equals_broadcast(spark):
+    """The pid-pruned cogrouped probe must route exactly like the
+    broadcast probe — same exactly-unseen output — while never
+    collecting or broadcasting the sketch dict."""
+    seen = _seen_df(spark, 0, 1000)
+    frontier = _urls_df(spark, 500, 2500)
+    sketch_df = build_bloom_sketches(seen, 8, 256).localCheckpoint()
+
+    out_bc, mode_bc = unseen_with_bloom_state(
+        frontier, seen, sketch_df, 8, spark, broadcast_max_bytes=64 << 20
+    )
+    out_cg, mode_cg = unseen_with_bloom_state(
+        frontier, seen, sketch_df, 8, spark, broadcast_max_bytes=0
+    )
+    assert mode_bc == "broadcast" and mode_cg == "cogroup"
+    exp = sorted(f"https://e.com/p{i}" for i in range(1000, 2500))
+    assert sorted(r.url for r in out_bc.collect()) == exp
+    assert sorted(r.url for r in out_cg.collect()) == exp
+    # the cogroup plan carries the sketch table via a cogrouped map —
+    # no broadcast exchange of sketch state anywhere
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out_cg.explain("formatted")
+    assert "FlatMapCoGroupsInPandas" in buf.getvalue()
+
+
+def test_unknown_sketch_version_disables_bloom(spark):
+    """Sketches persisted by a different probe scheme (cross-version
+    resume) must NOT be probed — false negatives would re-crawl seen
+    URLs. The engine detects the version relationally and falls back
+    to the pure exact anti-join."""
+    import numpy as np
+
+    seen = _seen_df(spark, 0, 200)
+    frontier = _urls_df(spark, 0, 400)
+    # a round-2-format blob: 16-byte (n_bits, k) header, no magic
+    legacy_blob = np.array([1024, 4], np.int64).tobytes() + bytes(128)
+    sketch_df = spark.createDataFrame(
+        [(0, bytearray(legacy_blob), None)],
+        "partition_id int, sketch binary, version int",
+    )
+    out, mode = unseen_with_bloom_state(frontier, seen, sketch_df, 8, spark)
+    assert mode == "exact"
+    assert sorted(r.url for r in out.collect()) == sorted(
+        f"https://e.com/p{i}" for i in range(200, 400)
+    )
+    # and the blob itself refuses deserialization outright
+    with pytest.raises(ValueError, match="magic/version"):
+        BloomSketch.from_bytes(legacy_blob)
+
+
+def test_saturated_sketch_bounds_bytes_and_stays_exact(spark):
+    """Per-sketch capacity cap: a pid whose rows would need more than
+    max_bits saturates — every blob stays <= 32 + max_bits/8 bytes and
+    saturated pids route everything through the exact anti-join
+    (correct, never false-negative)."""
+    seen = _seen_df(spark, 0, 5000)
+    rows = build_bloom_sketches(
+        seen, 4, expected_per_partition=64, max_bits_per_sketch=1024
+    ).collect()
+    assert rows and all(len(bytes(r.sketch)) <= 32 + 1024 // 8 for r in rows)
+    sks = [BloomSketch.from_bytes(bytes(r.sketch)) for r in rows]
+    assert any(s.saturated for s in sks)
+    frontier = _urls_df(spark, 4000, 6000)
+    sketch_df = build_bloom_sketches(
+        seen, 4, 64, max_bits_per_sketch=1024
+    ).localCheckpoint()
+    out, _ = unseen_with_bloom_state(frontier, seen, sketch_df, 4, spark)
+    assert sorted(r.url for r in out.collect()) == sorted(
+        f"https://e.com/p{i}" for i in range(5000, 6000)
+    )
+
+
+def test_bucketized_crawl_matches_oracle_and_resumes(spark, tmp_path):
+    """The default-at-scale J1 path: bucketize_seen_every_epochs folds
+    url_seen into a bucketed catalog table mid-crawl. The crawl must
+    match the oracle exactly, resume cleanly from the post-bucketize
+    manifest, and refuse rollback past the merge point."""
+    raw = gen_cdx_records(n_urls=30, seed=17)
+    cfg = default_config(
+        epoch_seconds=20.0, max_retries=2, bucketize_seen_every_epochs=2
+    )
+    oracle = run_oracle(raw, cfg)
+
+    store = StateStore(str(tmp_path / "bk"), spark)
+    plan = CrawlPlan(spark, store, cfg)
+    plan.run(cdx_dataframe(spark, raw), max_epochs=3)
+    manifest = store.read_manifest()
+    assert "url_seen" in manifest.get("bucketed", {})
+    base, delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+    assert base is not None
+    floor = manifest["compaction_floor"]["url_seen"]
+    with pytest.raises(ValueError, match="compacted"):
+        store.truncate_to_epoch(floor - 1)
+
+    # resume from the committed snapshot to completion
+    plan2 = CrawlPlan(spark, store, cfg)
+    plan2.run(cdx_dataframe(spark, raw), resume=True)
+    docs, _ = plan2.finalize_outputs()
+    order = [
+        r.url
+        for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
+    ]
+    assert order == oracle.crawl_order
+    seen = [
+        r.url for r in store.read("url_seen", URL_SEEN_SCHEMA).orderBy("seq").collect()
+    ]
+    assert seen == oracle.seen
+    got = {r.url: (r.title, r.dir, r.filename, r.markdown) for r in docs.collect()}
+    exp = {d["url"]: (d["title"], d["dir"], d["filename"], d["markdown"]) for d in oracle.docs}
+    assert got == exp
+    store.destroy()
+
+
+def test_bucketized_base_joins_without_big_side_shuffle(spark, tmp_path):
+    """After bucketize, the anti-join against the base must be
+    storage-partitioned: the bucketed scan feeds the join directly
+    (Bucketed: true, exactly one Exchange — the probe side)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    store = StateStore(str(tmp_path / "bj"), spark)
+    path = store.stage("url_seen", 0, _seen_df(spark, 0, 4000).repartition(4))
+    store.commit(0, {"url_seen": path})
+    store.bucketize("url_seen", buckets=8)
+    base, _ = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+    frontier = _urls_df(spark, 3000, 5000)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = anti_join_unseen(frontier, base)
+        assert sorted(r.url for r in out.collect()) == sorted(
+            f"https://e.com/p{i}" for i in range(4000, 5000)
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        store.destroy()

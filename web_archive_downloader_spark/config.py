@@ -71,6 +71,19 @@ class EngineConfig:
     seen_partitions: int = 32
     # Bloom prefilter sizing.
     bloom_fpp: float = 0.01
+    # Bloom probe-mode bound (operators/seen.py): total sketch bytes
+    # above this switch from driver-collect+broadcast to the pid-pruned
+    # cogrouped probe (no broadcast, each task ships only its pids'
+    # sketches). Keeps Bloom memory O(bound) per executor instead of
+    # O(seen-set) at the 10^10-URL target.
+    bloom_broadcast_max_bytes: int = 64 << 20
+    # Re-materialize url_seen as a bucketed catalog table every K
+    # epochs (0 = never): after the first bucketize the J1 anti-join is
+    # storage-partitioned — the seen side never shuffles again. This is
+    # the production default at scale (Iceberg bucket(N, url) +
+    # rewrite_data_files); small test crawls leave it off because the
+    # merge forecloses rollback past it (snapshot-expiry semantics).
+    bucketize_seen_every_epochs: int = 0
     # Robots gate (engine-only; the reference has none — SURVEY §2.10).
     # Off by default so reference-equality runs are unaffected; the
     # oracle applies the same rules when enabled.

@@ -60,6 +60,26 @@ def per_host_topk(
     return ranked.filter(F.col("host_rank") <= k)
 
 
+def pace_slot_col(delay_seconds: float, rank_col: str = "host_rank"):
+    """Politeness pace CALENDAR (intra-epoch rate bound): request
+    number r to a host fires at absolute time
+    epoch_start + (r-1)*delay. Ranks are dense and unique per host
+    (per_host_topk's row_number), so any two same-host requests are
+    >= delay apart BY CONSTRUCTION, regardless of which partition or
+    task executes them — pacing needs no same-host co-location.
+
+    This is deliberately NOT per-partition serialization: the
+    reference's whole workload is a single host (target_domain), so
+    host-keyed co-location would funnel the entire fetch stage through
+    one task; the calendar keeps url-hash scatter (full parallelism
+    across hosts AND within a host's budget) while enforcing the
+    per-request delay. Fetchers sleep to their slots
+    (sources/fetch_shim.py:politeness_pacer); the per-epoch budget
+    floor(epoch_seconds/delay) guarantees every slot fits inside the
+    epoch."""
+    return (F.col(rank_col) - 1).cast("double") * F.lit(float(delay_seconds))
+
+
 def eligible(frontier: DataFrame, epoch: int) -> DataFrame:
     """Backoff gating (X11 analog): rows whose retry backoff has
     elapsed by this epoch."""

@@ -50,7 +50,7 @@ from ..functions.scalar import (
 from ..operators.collisions import assign_collision_names
 from ..operators.latest import latest_snapshot_per_url, valid_cdx
 from ..operators.schedule import per_host_topk
-from ..operators.seen import build_bloom_sketches, unseen_with_bloom
+from ..operators.seen import build_bloom_sketches, unseen_with_bloom_state
 from ..sources.fetch_shim import (
     asset_fetch_stage,
     extract_stage,
@@ -180,6 +180,12 @@ class CrawlPlan:
         self.spark = spark
         self.store = store
         self.config = config
+        # driver-side cache of the bloom table's (n, nbytes, bad)
+        # stats: initialized with one tiny aggregate on the first
+        # epoch of a run, then advanced from the staged dir sizes the
+        # plan itself writes — no per-epoch stats job. Invalidated on
+        # compaction/bucketize (the table is rewritten).
+        self._bloom_stats: dict | None = None
 
     # ---- one epoch ----
     def run_epoch(self, epoch: int) -> tuple[int, int]:
@@ -200,7 +206,14 @@ class CrawlPlan:
         cfg = self.config
         store = self.store
         frontier = store.read_latest_only("frontier", FRONTIER_SCHEMA)
-        url_seen = store.read("url_seen", URL_SEEN_SCHEMA)
+        # J1 membership relation, read as (bucketed base, epoch deltas):
+        # once bucketize_seen_every_epochs has fired, the base scan is
+        # hash-bucketed by url and the anti-join against it is
+        # storage-partitioned — the big (seen) side never shuffles, only
+        # the frontier probe side does; the deltas are the few recent
+        # epochs' rows and broadcast/shuffle cheaply.
+        seen_base, seen_delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+        seen_parts = ([seen_base] if seen_base is not None else []) + [seen_delta]
 
         eligible = frontier.filter(F.col("eligible_epoch") <= epoch)
         held = frontier.filter(F.col("eligible_epoch") > epoch)
@@ -228,17 +241,20 @@ class CrawlPlan:
             )
 
         t0 = mark("read_state", t0)
-        sketches = [
-            (r["partition_id"], bytes(r["sketch"]))
-            for r in store.read("bloom", self._bloom_schema()).collect()
-        ]
-        t0 = mark("bloom_collect", t0)
-        # cached: the unseen chain (bloom UDF + exact anti-join) feeds
+        # cached: the unseen chain (bloom probe + exact anti-join) feeds
         # BOTH the schedule and the leftover/frontier write — without
-        # the cache it runs twice per epoch
-        unseen = unseen_with_bloom(
-            eligible, url_seen, sketches, cfg.seen_partitions, self.spark
-        ).cache()
+        # the cache it runs twice per epoch. The probe mode (broadcast /
+        # pid-pruned cogroup / exact-only) is chosen from the persisted
+        # sketch state's size + version, so Bloom memory never scales
+        # with the seen set (operators/seen.py:unseen_with_bloom_state).
+        sketch_df = store.read("bloom", self._bloom_schema())
+        unseen, bloom_mode = unseen_with_bloom_state(
+            eligible, seen_parts, sketch_df, cfg.seen_partitions, self.spark,
+            broadcast_max_bytes=cfg.bloom_broadcast_max_bytes,
+            stats=self._cached_bloom_stats(sketch_df),
+        )
+        unseen = unseen.cache()
+        t0 = mark(f"bloom_{bloom_mode}", t0)
 
         sched = per_host_topk(
             unseen, cfg.per_host_epoch_budget, cfg.host_salt_buckets, budgets=budgets
@@ -497,6 +513,7 @@ class CrawlPlan:
                 staged[t] = fut.result()
         t0 = mark("sibling_writes", t0)
         store.commit(epoch, staged)
+        self._advance_bloom_stats(staged["bloom"])
         n_pending = int(obs_frontier.get["n"])
         for df in (sched, unseen, fetched, routed, extracted, mem_extracted, assets):
             df.unpersist()
@@ -508,11 +525,42 @@ class CrawlPlan:
             )
         return n_sched, n_pending
 
+    def _cached_bloom_stats(self, sketch_df: DataFrame) -> dict:
+        if self._bloom_stats is None:
+            from ..operators.seen import sketch_stats
+
+            self._bloom_stats = sketch_stats(sketch_df)
+        return self._bloom_stats
+
+    def _advance_bloom_stats(self, staged_path: str) -> None:
+        """Fold a freshly staged bloom dir into the cached stats: the
+        rows were written by THIS engine (version current, >=1 row);
+        the dir's file bytes upper-bound the sketch bytes, so the
+        broadcast-mode threshold flips conservatively early."""
+        import os
+
+        if self._bloom_stats is None:
+            return
+        nbytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(staged_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        self._bloom_stats = {
+            "n": self._bloom_stats["n"] + 1,
+            "nbytes": self._bloom_stats["nbytes"] + nbytes,
+            "bad": self._bloom_stats["bad"],
+        }
+
     def _bloom_schema(self) -> T.StructType:
         return T.StructType(
             [
                 T.StructField("partition_id", T.IntegerType()),
                 T.StructField("sketch", T.BinaryType()),
+                # probe-scheme version; pre-versioning dirs read as null
+                # and disable Bloom routing (operators/seen.py)
+                T.StructField("version", T.IntegerType()),
             ]
         )
 
@@ -633,6 +681,7 @@ class CrawlPlan:
             self.store.stage("bloom", -1, sketches)
         )
         self.store._write_manifest(m)
+        self._bloom_stats = None
 
     # ---- full run ----
     def run(self, cdx: DataFrame, max_epochs: int = 200, resume: bool = False) -> CrawlRunStats:
@@ -650,12 +699,22 @@ class CrawlPlan:
             store._write_manifest(manifest)
         pending = store.read_latest_only("frontier", FRONTIER_SCHEMA).count()
         compact_every = self.config.compact_every_epochs
+        bucketize_every = self.config.bucketize_seen_every_epochs
         for epoch in range(start_epoch, max_epochs):
             if pending == 0:
                 break
             n, pending = self.run_epoch(epoch)
             stats.epochs += 1
             stats.scheduled += n
+            if bucketize_every and (epoch + 1) % bucketize_every == 0:
+                # fold the recent url_seen deltas into the bucketed
+                # base: subsequent epochs' J1 anti-join is storage-
+                # partitioned (big side never shuffles). Bloom keeps
+                # covering the merged rows; compact keeps its dir list
+                # bounded.
+                store.bucketize("url_seen", buckets=self.config.seen_partitions)
+                store.compact("bloom")
+                self._bloom_stats = None
             if compact_every and (epoch + 1) % compact_every == 0:
                 # bound the per-epoch manifest-dir unions on long
                 # crawls; data tables (docs/assets/images/html) stay
@@ -663,6 +722,7 @@ class CrawlPlan:
                 # would dwarf the listing cost they'd save
                 for t in ("url_seen", "processed", "lineage", "metrics", "bloom"):
                     store.compact(t)
+                self._bloom_stats = None
         return stats
 
     # ---- finalize: names + markdown + final docs table ----

@@ -33,6 +33,12 @@ class StateStore:
         self.root = root
         self.spark = spark
         os.makedirs(root, exist_ok=True)
+        # catalog-table prefix unique to this store root (the Spark
+        # catalog is session-global; concurrent stores must not share
+        # bucketed-table names)
+        import hashlib
+
+        self._ident = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:10]
 
     # --- manifest ---
     @property
@@ -77,12 +83,81 @@ class StateStore:
 
     # --- reads (committed snapshots only) ---
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        paths = self.read_manifest()["tables"].get(table, [])
+        base, delta = self.read_parts(table, schema)
+        return delta if base is None else base.unionByName(delta)
+
+    def read_parts(
+        self, table: str, schema: T.StructType | None = None
+    ) -> tuple[DataFrame | None, DataFrame]:
+        """(bucketed base or None, delta rows). The SCALE read: callers
+        that join against the table keep the base separate so its
+        bucketed scan reaches the join without an Exchange (a union
+        would erase the bucket distribution); `read` is the
+        convenience union for full-relation consumers."""
+        manifest = self.read_manifest()
+        ptr = manifest.get("bucketed", {}).get(table)
+        base = self.spark.table(ptr["name"]) if ptr else None
+        paths = manifest["tables"].get(table, [])
         if not paths:
             if schema is None:
-                raise ValueError(f"table {table} empty and no schema given")
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+                if base is None:
+                    raise ValueError(f"table {table} empty and no schema given")
+                return base, self.spark.createDataFrame([], base.schema)
+            return base, self.spark.createDataFrame([], schema)
+        return base, self.spark.read.parquet(*paths)
+
+    def bucketize(self, table: str, buckets: int = 32, key: str = "url") -> str:
+        """Materialize a table's full row set as a NEW versioned
+        bucketed catalog table (hash-bucketed + sorted by ``key``) and
+        atomically repoint the manifest at it, clearing the merged
+        epoch dirs. This is Iceberg's rewrite_data_files with a
+        bucket(N, key) partition transform: after it, an anti-join
+        against the table is storage-partitioned — the (big) seen side
+        never shuffles again, only the probe side does.
+
+        Crash-safe: the bucketed table is written under a fresh name;
+        the manifest swap (os.replace) is the only commit point; a
+        crash before it leaves an orphan catalog table and the old
+        manifest — readers never see a partial state. Rollback past
+        the merge point is refused (compaction_floor), matching
+        snapshot-expiry semantics. Returns the new table name."""
+        manifest = self.read_manifest()
+        ptr = manifest.get("bucketed", {}).get(table)
+        paths = manifest["tables"].get(table, [])
+        if not paths and ptr:
+            return ptr["name"]  # nothing new to merge
+        parts = []
+        if ptr:
+            parts.append(self.spark.table(ptr["name"]))
+        if paths:
+            parts.append(self.spark.read.parquet(*paths))
+        if not parts:
+            raise ValueError(f"bucketize: table {table} is empty")
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        epoch = manifest["epoch"]
+        name = f"wad_{self._ident}_{table}_b{max(epoch, 0)}"
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+        manifest.setdefault("bucketed", {})[table] = {
+            "name": name,
+            "buckets": buckets,
+            "key": key,
+        }
+        manifest["tables"][table] = []
+        manifest.setdefault("compaction_floor", {})[table] = epoch
+        self._write_manifest(manifest)  # atomic swap
+        if ptr and ptr["name"] != name:
+            self.spark.sql(f"DROP TABLE IF EXISTS {ptr['name']}")
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        return name
 
     def read_latest_only(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         """For tables where each epoch REPLACES state (e.g. frontier)."""
@@ -144,4 +219,9 @@ class StateStore:
         self._write_manifest(manifest)
 
     def destroy(self) -> None:
+        for ptr in self.read_manifest().get("bucketed", {}).values():
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {ptr['name']}")
+            except Exception:
+                pass
         shutil.rmtree(self.root, ignore_errors=True)

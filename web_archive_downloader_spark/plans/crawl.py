@@ -22,10 +22,14 @@ successful set ordered by save_seq, so they are materialized by
 than during epochs; see operators/collisions.py.
 
 Politeness: scheduling grants <= floor(epoch_seconds/delay) fetches
-per host per epoch (budget enforced relationally by the top-k); the
-fetch stage additionally serializes same-host requests inside a
-partition in production. Lineage records per-epoch per-host grants so
-the budget invariant is auditable.
+per host per epoch (VOLUME cap, enforced relationally by the top-k);
+the pace CALENDAR bounds the RATE — each granted request carries
+pace_slot = (host_rank-1)*delay, an absolute offset from epoch start,
+so same-host requests are >= delay apart by construction in any
+partition layout (operators/schedule.py:pace_slot_col). The fetch
+stage fires rows in slot order and, in live deployments, sleeps each
+row to its slot (fetch_shim.politeness_pacer). Lineage records
+per-epoch per-host grants so the budget invariant is auditable.
 """
 
 from __future__ import annotations
@@ -49,7 +53,7 @@ from ..functions.scalar import (
 )
 from ..operators.collisions import assign_collision_names
 from ..operators.latest import latest_snapshot_per_url, valid_cdx
-from ..operators.schedule import per_host_topk
+from ..operators.schedule import pace_slot_col, per_host_topk
 from ..operators.seen import build_bloom_sketches, unseen_with_bloom_state
 from ..sources.fetch_shim import (
     asset_fetch_stage,
@@ -258,6 +262,12 @@ class CrawlPlan:
 
         sched = per_host_topk(
             unseen, cfg.per_host_epoch_budget, cfg.host_salt_buckets, budgets=budgets
+        )
+        # politeness calendar: the within-host rank becomes an absolute
+        # firing slot — same-host spacing >= delay in any partition
+        # layout (see module docstring)
+        sched = sched.withColumn(
+            "pace_slot", pace_slot_col(cfg.request_delay_seconds)
         ).drop("host_rank")
         n_sched = sched.count()
         t0 = mark("schedule_count", t0)
@@ -301,9 +311,10 @@ class CrawlPlan:
         # The schedule is tiny by BYTES (urls) but heavy by WORK
         # (fetch + DOM parse per row), so AQE's size-based coalescing
         # would serialize it onto 1-2 tasks. Spread explicitly across
-        # the cluster by url hash; same-host rows stay co-located per
-        # partition only as politeness pacing requires (the per-host
-        # budget already bounds same-host rows per epoch).
+        # the cluster by url hash — politeness does NOT need same-host
+        # co-location because the pace calendar assigns absolute slots
+        # (a host-keyed repartition would serialize the reference's
+        # single-domain workload onto one task).
         par = min(
             self.spark.sparkContext.defaultParallelism, max(1, n_sched // 8)
         )

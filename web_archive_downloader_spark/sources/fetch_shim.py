@@ -6,12 +6,18 @@ per-row Python" at the Spark level; inside a batch the per-document
 DOM work is inherently per-item, same as the reference's bs4 calls,
 but amortized over Arrow transfer and free of Spark-row overhead).
 
-In production these stages wrap a batched HTTP client with per-host
-pacing inside each partition (politeness tokens are granted by the
-scheduler; the partition serializes same-host requests). In this
-sandbox the "content server" is the deterministic shim in datagen.py
-— identical to what the sequential oracle consults, so byte-equality
-tests are meaningful.
+Politeness pacing: scheduled rows carry ``pace_slot`` — an absolute
+per-host time offset from the pace CALENDAR (operators/schedule.py:
+pace_slot_col): request r to a host fires at epoch_start +
+(r-1)*delay, so same-host requests are >= delay apart by construction
+in ANY partition layout. fetch_stage executes each partition's rows
+in slot order; in production each fetch first calls a
+``politeness_pacer(epoch_start)`` that sleeps to its slot on the
+executor's clock. In this sandbox the "content server" is the
+deterministic shim in datagen.py (no live host to be polite to, and
+real sleeps would distort oracle byte-equality runs), so the pacer is
+exercised by unit tests with a fake clock while the slot assignment +
+firing order are asserted on the real plan.
 """
 
 from __future__ import annotations
@@ -37,18 +43,49 @@ from ..content.paths import page_dir
 from ..datagen import asset_bytes, wayback_fetch_sim
 
 
-def fetch_stage(scheduled: DataFrame) -> DataFrame:
+def politeness_pacer(epoch_start: float, now=None, sleep=None):
+    """Production pace enforcement: returns wait(slot) which blocks
+    until ``epoch_start + slot`` on a monotonic clock (never sleeps if
+    the slot already passed — a late task just proceeds, widening the
+    gap, which can only increase same-host spacing). Injectable clock
+    for tests; defaults to time.monotonic/time.sleep."""
+    import time as _time
+
+    now = now or _time.monotonic
+    sleep = sleep or _time.sleep
+
+    def wait(slot: float) -> None:
+        remaining = epoch_start + slot - now()
+        if remaining > 0:
+            sleep(remaining)
+
+    return wait
+
+
+def fetch_stage(scheduled: DataFrame, pacer=None) -> DataFrame:
     """SRC2/U7: one fetch attempt per scheduled frontier row.
-    Input needs (url, attempt); output adds (outcome, html)."""
+    Input needs (url, attempt); output adds (outcome, html).
+
+    If the input carries ``pace_slot``, each Arrow batch is executed
+    in slot order (the politeness calendar's firing order); a
+    ``pacer`` factory (epoch-relative, e.g. politeness_pacer bound to
+    epoch_start) is invoked per row before its fetch in live
+    deployments."""
     out_schema = T.StructType(
         scheduled.schema.fields
         + [T.StructField("outcome", T.StringType()), T.StructField("html", T.StringType())]
     )
+    paced = "pace_slot" in scheduled.columns
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if paced:
+                sort_cols = ["pace_slot"] + (["seq"] if "seq" in pdf.columns else [])
+                pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
             outcomes, htmls = [], []
-            for url, attempt in zip(pdf["url"], pdf["attempt"]):
+            for i, (url, attempt) in enumerate(zip(pdf["url"], pdf["attempt"])):
+                if paced and pacer is not None:
+                    pacer(float(pdf["pace_slot"].iloc[i]))
                 o, h = wayback_fetch_sim(url, int(attempt))
                 outcomes.append(o)
                 htmls.append(h)

@@ -155,6 +155,33 @@ def test_observe_metrics_match_processed(crawl_result, spark):
             == metrics[(e, "fetched_ok")] + metrics[(e, "retry")] + metrics[(e, "dead_wayback")]
         )
 
+    # asset counters (reference main.py:111-139): saved == assets_raw
+    # rows per epoch; found = saved + failed; per-kind counters sum to
+    # the totals
+    from web_archive_downloader_spark.plans.crawl import ASSETS_RAW_SCHEMA
+
+    assets_raw = store.read("assets_raw", ASSETS_RAW_SCHEMA)
+    saved_per_epoch = {
+        r.epoch: r.n
+        for r in assets_raw.groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(saved_per_epoch.values()) > 0
+    kinds = sorted(
+        {m.rsplit("_", 1)[1] for (_, m) in metrics if m.startswith("assets_found_")}
+    )
+    assert kinds  # at least one enabled kind reported
+    for e in epochs:
+        assert metrics[(e, "assets_saved")] == saved_per_epoch.get(e, 0)
+        assert metrics[(e, "assets_attempted")] == metrics[(e, "assets_found")]
+        assert (
+            metrics[(e, "assets_found")]
+            == metrics[(e, "assets_saved")] + metrics[(e, "assets_failed")]
+        )
+        for facet in ("found", "saved", "failed"):
+            assert metrics[(e, f"assets_{facet}")] == sum(
+                metrics[(e, f"assets_{facet}_{k}")] for k in kinds
+            )
+
 
 def test_politeness_budget_respected(crawl_result, spark):
     import pyspark.sql.functions as F

@@ -374,9 +374,37 @@ class CrawlPlan:
                 & F.col("html").isNotNull() & (F.col("html") != "")
             ).select("url", "ts", "seq", "title", "html", F.lit(epoch).alias("epoch"))
 
-        assets = asset_fetch_stage(
-            find_assets_stage(ok.select("url", "ts", "seq", "html"), cfg)
-        ).filter(F.col("bytes").isNotNull()).cache()
+        # --- asset counters (A3 tail, reference main.py:111-139:
+        # found/attempted/saved/failed per kind) ride the assets_raw
+        # write as observe() metrics — every found asset is attempted
+        # (disabled kinds prune at find time), failures are null-byte
+        # fetches the sink filter drops
+        obs_assets = Observation(f"assets_{epoch}")
+        asset_kind_aggs = []
+        for kind in cfg.enabled_asset_kinds:
+            asset_kind_aggs += [
+                F.count_if(F.col("kind") == kind).alias(f"assets_found_{kind}"),
+                F.count_if(
+                    (F.col("kind") == kind) & F.col("bytes").isNotNull()
+                ).alias(f"assets_saved_{kind}"),
+                F.count_if(
+                    (F.col("kind") == kind) & F.col("bytes").isNull()
+                ).alias(f"assets_failed_{kind}"),
+            ]
+        assets = (
+            asset_fetch_stage(
+                find_assets_stage(ok.select("url", "ts", "seq", "html"), cfg)
+            )
+            .observe(
+                obs_assets,
+                F.count(F.lit(1)).alias("assets_found"),
+                F.count_if(F.col("bytes").isNotNull()).alias("assets_saved"),
+                F.count_if(F.col("bytes").isNull()).alias("assets_failed"),
+                *asset_kind_aggs,
+            )
+            .filter(F.col("bytes").isNotNull())
+            .cache()
+        )
 
         # --- the graft's payload corpus: fetched image bytes + alt-text
         # captions -> images table (BASELINE.json:15 input_hint) ---
@@ -436,24 +464,39 @@ class CrawlPlan:
         staged = {"docs_raw": store.stage("docs_raw", epoch, docs_raw)}
         t0 = mark("docs_raw_write", t0)
         docs_committed = self.spark.read.parquet(staged["docs_raw"])
+        # assets_raw is staged eagerly too (it materializes the cached
+        # asset subtree and fires obs_assets) so the metrics table can
+        # carry the asset counters in the same epoch commit
+        staged["assets_raw"] = store.stage("assets_raw", epoch, assets_raw)
+        t0 = mark("assets_raw_write", t0)
 
-        # the docs_raw write above was the first action through the
-        # observed frames — the named metrics are now available at no
-        # extra job cost
+        # the writes above were the first actions through the observed
+        # frames — the named metrics are now available at no extra job
+        # cost
         route_m = obs_route.get
         extract_m = obs_extract.get
-        metrics = self.spark.createDataFrame(
-            [
-                (epoch, "scheduled", n_sched),
-                (epoch, "fetched_total", route_m["fetched_total"]),
-                (epoch, "fetched_ok", route_m["fetched_ok"]),
-                (epoch, "retry", route_m["retry"]),
-                (epoch, "dead_wayback", route_m["dead_wayback"]),
-                (epoch, "extract_ok", extract_m["extract_ok"]),
-                (epoch, "extract_fail", extract_m["extract_fail"]),
-            ],
-            METRICS_SCHEMA,
-        )
+        asset_m = obs_assets.get
+        metric_rows = [
+            (epoch, "scheduled", n_sched),
+            (epoch, "fetched_total", route_m["fetched_total"]),
+            (epoch, "fetched_ok", route_m["fetched_ok"]),
+            (epoch, "retry", route_m["retry"]),
+            (epoch, "dead_wayback", route_m["dead_wayback"]),
+            (epoch, "extract_ok", extract_m["extract_ok"]),
+            (epoch, "extract_fail", extract_m["extract_fail"]),
+            # A3 asset counters (reference main.py:111-139); attempted
+            # == found: every found asset of an enabled kind is fetched
+            (epoch, "assets_found", asset_m["assets_found"]),
+            (epoch, "assets_attempted", asset_m["assets_found"]),
+            (epoch, "assets_saved", asset_m["assets_saved"]),
+            (epoch, "assets_failed", asset_m["assets_failed"]),
+        ]
+        for kind in cfg.enabled_asset_kinds:
+            for facet in ("found", "saved", "failed"):
+                metric_rows.append(
+                    (epoch, f"assets_{facet}_{kind}", asset_m[f"assets_{facet}_{kind}"])
+                )
+        metrics = self.spark.createDataFrame(metric_rows, METRICS_SCHEMA)
 
         seen_new = docs_committed.select("url", "seq", F.lit(epoch).alias("epoch"))
         processed = (
@@ -504,7 +547,6 @@ class CrawlPlan:
             self.spark.sparkContext.defaultParallelism, n_sched // 4096 + 1
         ))
         jobs = {
-            "assets_raw": assets_raw,
             "frontier": new_frontier,
             "url_seen": seen_new.coalesce(state_par),
             "processed": processed.coalesce(state_par),

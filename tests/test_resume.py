@@ -78,7 +78,7 @@ def test_compaction_preserves_state_and_resume(spark, tmp_path):
     before = sorted(
         (r.url, r.seq) for r in store.read("url_seen", URL_SEEN_SCHEMA).collect()
     )
-    n_dirs = store.compact("url_seen")
+    n_dirs = store.compact("__state__")  # url_seen lives in the packed state table
     assert n_dirs >= 2
     after = sorted(
         (r.url, r.seq) for r in store.read("url_seen", URL_SEEN_SCHEMA).collect()
@@ -114,8 +114,9 @@ def test_inloop_compaction_equivalent(spark, tmp_path):
         for d in oracle.docs
     )
     assert doc_rows == exp_rows
-    # compaction actually ran: url_seen manifest is a single compacted dir
-    paths = s2.read_manifest()["tables"]["url_seen"]
+    # compaction actually ran: the packed state table is a single
+    # compacted dir (url_seen and its siblings live inside it)
+    paths = s2.read_manifest()["tables"]["__state__"]
     assert any("compacted=" in p for p in paths)
 
 

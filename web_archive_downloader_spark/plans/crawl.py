@@ -281,14 +281,15 @@ class CrawlPlan:
                 "frontier", epoch,
                 held.unionByName(unseen).observe(obs_f, F.count(F.lit(1)).alias("n")),
             )
+            members = {"lineage": self._lineage(epoch, sched)}
+            if robots_blocked_rows is not None:
+                members["processed"] = robots_blocked_rows.withColumn(
+                    "epoch", F.lit(epoch)
+                )
             staged = {
                 "frontier": fpath,
-                "lineage": store.stage("lineage", epoch, self._lineage(epoch, sched)),
+                "__state__": store.stage_packed(epoch, members, coalesce_to=1),
             }
-            if robots_blocked_rows is not None:
-                staged["processed"] = store.stage(
-                    "processed", epoch, robots_blocked_rows.withColumn("epoch", F.lit(epoch))
-                )
             store.commit(epoch, staged)
             unseen.unpersist()
             return 0, int(obs_f.get["n"])
@@ -536,37 +537,44 @@ class CrawlPlan:
 
         # Pure-STATE tables (url_seen/processed/lineage/metrics/bloom)
         # carry O(n_sched) tiny rows but inherit 32+ write partitions
-        # from upstream shuffles — at tail-epoch widths that is ~5
-        # jobs x 32 near-empty tasks of pure scheduler overhead.
-        # Coalesce them to ~4k rows/task (cheap narrow dependency; the
-        # compute they pull is trivial). Compute-carrying outputs
+        # from upstream shuffles — at tail-epoch widths that was ~5
+        # write jobs x 32 near-empty tasks of pure scheduler overhead
+        # per epoch. They are staged as ONE packed write (sparse union
+        # schema + `_table` discriminator, StateStore.stage_packed),
+        # coalesced to ~4k rows/task. Compute-carrying outputs
         # (docs_raw/assets_raw/html_raw/images/frontier) are NOT
         # coalesced: narrowing them would serialize the fetch/extract
         # work itself.
         state_par = max(1, min(
             self.spark.sparkContext.defaultParallelism, n_sched // 4096 + 1
         ))
-        jobs = {
-            "frontier": new_frontier,
-            "url_seen": seen_new.coalesce(state_par),
-            "processed": processed.coalesce(state_par),
-            "bloom": bloom_new.coalesce(state_par),
-            "lineage": self._lineage(epoch, sched).coalesce(state_par),
-            "metrics": metrics.coalesce(1),
+        state_members = {
+            "url_seen": seen_new,
+            "processed": processed,
+            "bloom": bloom_new,
+            "lineage": self._lineage(epoch, sched),
+            "metrics": metrics,
         }
+        jobs = {"frontier": new_frontier}
         if images_new is not None:
             jobs["images"] = images_new
         if html_new is not None:
             jobs["html_raw"] = html_new
-        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        with ThreadPoolExecutor(max_workers=len(jobs) + 1) as pool:
             futures = {
                 t: pool.submit(store.stage, t, epoch, df) for t, df in jobs.items()
             }
+            futures["__state__"] = pool.submit(
+                store.stage_packed, epoch, state_members, state_par
+            )
             for t, fut in futures.items():
                 staged[t] = fut.result()
         t0 = mark("sibling_writes", t0)
         store.commit(epoch, staged)
-        self._advance_bloom_stats(staged["bloom"])
+        # packed-dir size upper-bounds the sketch bytes (other members
+        # share the dir), so the broadcast threshold flips early —
+        # conservative, never unsafe
+        self._advance_bloom_stats(staged["__state__"])
         n_pending = int(obs_frontier.get["n"])
         for df in (sched, unseen, fetched, routed, extracted, mem_extracted, assets):
             df.unpersist()
@@ -766,14 +774,16 @@ class CrawlPlan:
                 # covering the merged rows; compact keeps its dir list
                 # bounded.
                 store.bucketize("url_seen", buckets=self.config.seen_partitions)
-                store.compact("bloom")
+                store.compact("__state__")
                 self._bloom_stats = None
             if compact_every and (epoch + 1) % compact_every == 0:
                 # bound the per-epoch manifest-dir unions on long
                 # crawls; data tables (docs/assets/images/html) stay
                 # append-only — rewriting payload bytes every K epochs
-                # would dwarf the listing cost they'd save
-                for t in ("url_seen", "processed", "lineage", "metrics", "bloom"):
+                # would dwarf the listing cost they'd save. url_seen
+                # covers legacy seed dirs; the five state members live
+                # in the packed table.
+                for t in ("url_seen", "__state__"):
                     store.compact(t)
                 self._bloom_stats = None
         return stats

@@ -25,7 +25,51 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# ---- packed state ----------------------------------------------------
+# The five tiny per-epoch state tables (url_seen / processed / lineage /
+# metrics / bloom) are staged as ONE parquet write with a `_table`
+# discriminator over a sparse union schema: tail epochs previously paid
+# five near-empty write jobs of pure scheduler overhead per epoch; now
+# one. Readers unpack transparently (read/read_parts), so consumers are
+# layout-agnostic. This mirrors a multi-table Iceberg transaction: one
+# commit, several logical tables.
+PACKED = "__state__"
+
+_PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("_table", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("disposition", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("granted", T.LongType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("sketch", T.BinaryType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("epoch", T.IntegerType()),
+    ]
+)
+
+_PACKED_FIELDS: dict[str, list[str]] = {
+    "url_seen": ["url", "seq", "epoch"],
+    "processed": ["url", "seq", "disposition", "epoch"],
+    "lineage": ["host", "partition_id", "granted", "epoch"],
+    "metrics": ["epoch", "metric", "value"],
+    "bloom": ["partition_id", "sketch", "version"],
+}
+
+_TYPES = {f.name: f.dataType for f in _PACKED_SCHEMA.fields}
+
+
+def _member_schema(table: str) -> T.StructType:
+    return T.StructType(
+        [T.StructField(n, _TYPES[n]) for n in _PACKED_FIELDS[table]]
+    )
 
 
 class StateStore:
@@ -71,6 +115,46 @@ class StateStore:
         writer.parquet(path)
         return path
 
+    def stage_packed(
+        self, epoch: int, dfs: dict[str, DataFrame], coalesce_to: int | None = None
+    ) -> str:
+        """Stage several PACKED member tables as one write (one job,
+        one epoch dir) — see the module-level packed-state note. Each
+        member projects onto the sparse union schema with a `_table`
+        discriminator; columns a member lacks ride as nulls."""
+        parts = []
+        for name, df in dfs.items():
+            if name not in _PACKED_FIELDS:
+                raise ValueError(f"{name} is not a packed state table")
+            have = set(df.columns)
+            cols = [F.lit(name).alias("_table")] + [
+                (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in _PACKED_SCHEMA.fields[1:]
+            ]
+            parts.append(df.select(*cols))
+        packed = parts[0]
+        for p in parts[1:]:
+            packed = packed.unionByName(p)
+        if coalesce_to:
+            packed = packed.coalesce(coalesce_to)
+        return self.stage(PACKED, epoch, packed)
+
+    def _packed_member(self, table: str, manifest: dict) -> DataFrame | None:
+        """Unpack one member's rows from the packed dirs (None if no
+        packed dirs exist). Rows at or below the member's floor are
+        superseded (merged into the bucketed base by bucketize) and
+        filtered out — a pushed-down predicate, no rewrite needed."""
+        paths = manifest["tables"].get(PACKED, [])
+        if not paths:
+            return None
+        df = self.spark.read.schema(_PACKED_SCHEMA).parquet(*paths).filter(
+            F.col("_table") == table
+        )
+        floor = manifest.get("packed_floor", {}).get(table)
+        if floor is not None:
+            df = df.filter(F.col("epoch") > floor)
+        return df.select(*_PACKED_FIELDS[table])
+
     def commit(self, epoch: int, staged: dict[str, str]) -> None:
         """Atomically publish all staged epoch dirs as epoch's snapshot."""
         manifest = self.read_manifest()
@@ -93,18 +177,32 @@ class StateStore:
         that join against the table keep the base separate so its
         bucketed scan reaches the join without an Exchange (a union
         would erase the bucket distribution); `read` is the
-        convenience union for full-relation consumers."""
+        convenience union for full-relation consumers. Delta rows union
+        the table's own epoch dirs with its packed-state rows."""
         manifest = self.read_manifest()
         ptr = manifest.get("bucketed", {}).get(table)
         base = self.spark.table(ptr["name"]) if ptr else None
+        parts = []
         paths = manifest["tables"].get(table, [])
-        if not paths:
+        if paths:
+            parts.append(self.spark.read.parquet(*paths))
+        if table in _PACKED_FIELDS:
+            packed = self._packed_member(table, manifest)
+            if packed is not None:
+                parts.append(packed)
+        if not parts:
             if schema is None:
-                if base is None:
+                if table in _PACKED_FIELDS:
+                    schema = _member_schema(table)
+                elif base is not None:
+                    schema = base.schema
+                else:
                     raise ValueError(f"table {table} empty and no schema given")
-                return base, self.spark.createDataFrame([], base.schema)
             return base, self.spark.createDataFrame([], schema)
-        return base, self.spark.read.parquet(*paths)
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        return base, delta
 
     def bucketize(self, table: str, buckets: int = 32, key: str = "url") -> str:
         """Materialize a table's full row set as a NEW versioned
@@ -124,13 +222,18 @@ class StateStore:
         manifest = self.read_manifest()
         ptr = manifest.get("bucketed", {}).get(table)
         paths = manifest["tables"].get(table, [])
-        if not paths and ptr:
+        packed = (
+            self._packed_member(table, manifest) if table in _PACKED_FIELDS else None
+        )
+        if not paths and packed is None and ptr:
             return ptr["name"]  # nothing new to merge
         parts = []
         if ptr:
             parts.append(self.spark.table(ptr["name"]))
         if paths:
             parts.append(self.spark.read.parquet(*paths))
+        if packed is not None:
+            parts.append(packed)
         if not parts:
             raise ValueError(f"bucketize: table {table} is empty")
         df = parts[0]
@@ -152,6 +255,11 @@ class StateStore:
         }
         manifest["tables"][table] = []
         manifest.setdefault("compaction_floor", {})[table] = epoch
+        if table in _PACKED_FIELDS:
+            # packed rows at or below the floor are now superseded by
+            # the base; reads filter them out, compact(PACKED) drops
+            # them physically
+            manifest.setdefault("packed_floor", {})[table] = epoch
         self._write_manifest(manifest)  # atomic swap
         if ptr and ptr["name"] != name:
             self.spark.sql(f"DROP TABLE IF EXISTS {ptr['name']}")
@@ -184,6 +292,13 @@ class StateStore:
         if len(paths) <= 1:
             return 0
         df = self.spark.read.parquet(*paths)
+        if table == PACKED:
+            # physically drop member rows superseded by a bucketized
+            # base (reads already filter them; compaction reclaims)
+            for member, floor in manifest.get("packed_floor", {}).items():
+                df = df.filter(
+                    (F.col("_table") != member) | (F.col("epoch") > floor)
+                )
         compact_path = os.path.join(
             self.root, table, f"compacted={manifest['epoch']}"
         )

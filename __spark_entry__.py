@@ -335,6 +335,59 @@ def _q_dedup_components(spark, sf):
     )
 
 
+def _q_minhash_jaccard_estimate(spark, sf):
+    """Signature-based Jaccard ESTIMATE for the LSH candidate pairs:
+    fraction of agreeing minima over k=16 permutations — the classic
+    MinHash estimator a pipeline uses to rank candidates before (or
+    instead of) exact verification. One join of the candidate pairs
+    back to the (shared, materialized) signature relation; the
+    agreement count folds JVM-side (zip_with + aggregate)."""
+    sig = _sig16(spark, sf)
+    cands = minhash_lsh_candidates(
+        _t(spark, sf, "documents"), k=16, bands=4, sig=sig
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(agree.cast("double") / 16, 6).alias("jaccard_est"),
+        )
+    )
+
+
+def _q_corpus_selection(spark, sf):
+    """The flagship training-data operation end-to-end: keep one
+    representative per near-dup cluster (dedup_components) that also
+    passes the quality gate (document_stats: quality score + token
+    floor). Composes the two independently-checked relations; the
+    DuckDB twin composes the recursive-CTE components with the stats
+    SQL the same way. Output: the keep-list with its audit columns."""
+    from web_archive_downloader_spark.operators.dedup import dedup_components
+
+    d = _t(spark, sf, "documents")
+    comp = dedup_components(d, jaccard_threshold=0.4, sig=_sig16(spark, sf))
+    csize = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    stats = document_stats(d).select("doc_id", "quality", "n_tokens", "lang_pred")
+    return (
+        comp.join(csize, "component")
+        .join(stats, "doc_id")
+        .filter(
+            (F.col("doc_id") == F.col("component"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("n_tokens") >= 5)
+        )
+        .select("doc_id", "cluster_size", "quality", "n_tokens", "lang_pred")
+    )
+
+
 def _q_ann_bruteforce(spark, sf):
     return brute_force_topk(_t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -673,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "windowed_rates": _q_windowed_rates,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "minhash_jaccard_estimate": _q_minhash_jaccard_estimate,
+        "corpus_selection": _q_corpus_selection,
         "top_customers": _q_top_customers,
         "order_priority_counts": _q_order_priority_counts,
         "part_type_stats": _q_part_type_stats,
@@ -815,6 +870,30 @@ def oracle_sql() -> dict[str, str]:
             "de": ("der", "die", "und"),
         }.items()
     }
+    # text_stats SELECT, reused verbatim by corpus_selection's stats CTE
+    text_stats_select = f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS n_tokens,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE / length(text)
+                         ELSE 0 END, 4) AS punct_ratio,
+                   round(CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)
+                         ELSE 0 END, 4) AS alpha_ratio,
+                   round(0.5 * least(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))::DOUBLE / 50.0, 1.0)
+                       + 0.3 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) ELSE 0 END)
+                       + 0.2 * (1.0 - least((CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE / length(text) ELSE 0 END) * 5.0, 1.0)), 4) AS quality,
+                   CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) * 2 > length(text) THEN 'zh'
+                        WHEN ({lang_hits['en']}) >= ({lang_hits['fr']}) AND ({lang_hits['en']}) >= ({lang_hits['es']}) AND ({lang_hits['en']}) >= ({lang_hits['de']}) THEN 'en'
+                        WHEN ({lang_hits['fr']}) >= ({lang_hits['es']}) AND ({lang_hits['fr']}) >= ({lang_hits['de']}) THEN 'fr'
+                        WHEN ({lang_hits['es']}) >= ({lang_hits['de']}) THEN 'es'
+                        ELSE 'de' END AS lang_pred,
+                   list_reduce(list_prepend(0::BIGINT,
+                               list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+                                              c -> unicode(c)::BIGINT)),
+                               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+            FROM documents
+    """
     return {
         "latest_event_per_user": """
             SELECT user_id, event_id AS last_event_id,
@@ -1231,27 +1310,64 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        "text_stats": f"""
-            SELECT doc_id,
-                   len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS n_tokens,
-                   round(CASE WHEN length(text) > 0
-                         THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE / length(text)
-                         ELSE 0 END, 4) AS punct_ratio,
-                   round(CASE WHEN length(text) > 0
-                         THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)
-                         ELSE 0 END, 4) AS alpha_ratio,
-                   round(0.5 * least(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))::DOUBLE / 50.0, 1.0)
-                       + 0.3 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) ELSE 0 END)
-                       + 0.2 * (1.0 - least((CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE / length(text) ELSE 0 END) * 5.0, 1.0)), 4) AS quality,
-                   CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) * 2 > length(text) THEN 'zh'
-                        WHEN ({lang_hits['en']}) >= ({lang_hits['fr']}) AND ({lang_hits['en']}) >= ({lang_hits['es']}) AND ({lang_hits['en']}) >= ({lang_hits['de']}) THEN 'en'
-                        WHEN ({lang_hits['fr']}) >= ({lang_hits['es']}) AND ({lang_hits['fr']}) >= ({lang_hits['de']}) THEN 'fr'
-                        WHEN ({lang_hits['es']}) >= ({lang_hits['de']}) THEN 'es'
-                        ELSE 'de' END AS lang_pred,
-                   list_reduce(list_prepend(0::BIGINT,
-                               list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
-                                              c -> unicode(c)::BIGINT)),
-                               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-            FROM documents
+        "text_stats": text_stats_select,
+        "minhash_jaccard_estimate": f"""
+            WITH {_lsh_cte(16, 4)}
+            SELECT c.doc_a, c.doc_b,
+                   round(sum(CASE WHEN ma.minv = mb.minv THEN 1 ELSE 0 END)::DOUBLE / 16, 6) AS jaccard_est
+            FROM cands c
+            JOIN minh ma ON ma.doc_id = c.doc_a
+            JOIN minh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+            GROUP BY c.doc_a, c.doc_b
+        """,
+        "corpus_selection": f"""
+            WITH RECURSIVE {_lsh_cte(16, 4)},
+            jac AS (
+              SELECT doc_a, doc_b
+              FROM cands
+              JOIN (SELECT doc_id, {tokset_a} AS toks FROM documents a) ta ON ta.doc_id = doc_a
+              JOIN (SELECT doc_id, {tokset_b} AS toks FROM documents b) tb ON tb.doc_id = doc_b
+              WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                          / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) >= 0.4
+            ),
+            exact_star AS (
+              SELECT g.rep AS doc_a, d.doc_id AS doc_b
+              FROM documents d
+              JOIN (SELECT md5(text) AS h, min(doc_id) AS rep
+                    FROM documents GROUP BY 1) g ON md5(d.text) = g.h
+              WHERE d.doc_id != g.rep
+            ),
+            sig_star AS (
+              SELECT r.rep_id AS doc_a, s.doc_id AS doc_b
+              FROM sigs s JOIN reps r USING (sig_key)
+              WHERE s.doc_id != r.rep_id
+            ),
+            edges AS (
+              SELECT doc_a, doc_b FROM exact_star
+              UNION SELECT doc_a, doc_b FROM sig_star
+              UNION SELECT doc_a, doc_b FROM jac
+            ),
+            edges_sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges
+            ),
+            walk(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.label FROM walk w JOIN edges_sym e ON e.src = w.node
+            ),
+            comp AS (
+              SELECT node AS doc_id, min(label) AS component
+              FROM walk GROUP BY node
+            ),
+            csize AS (
+              SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+            ),
+            stats AS ({text_stats_select})
+            SELECT c.doc_id, cs.cluster_size, s.quality, s.n_tokens, s.lang_pred
+            FROM comp c
+            JOIN csize cs USING (component)
+            JOIN stats s USING (doc_id)
+            WHERE c.doc_id = c.component AND s.quality >= 0.5 AND s.n_tokens >= 5
         """,
     }

@@ -66,8 +66,13 @@ def run_crawl(spark, n_urls: int = CRAWL_URLS) -> dict:
     # waiting is wall-clock sleep in production, not compute
     raw = gen_cdx_multihost(n_urls, CRAWL_HOSTS, zipf=0.7)
     # target_domain="" => per-page netloc (reference fallback,
-    # html_processor.py:24), so same-host assets flow on every host
-    cfg = default_config(epoch_seconds=180.0, target_domain="")
+    # html_processor.py:24), so same-host assets flow on every host.
+    # bucketize_seen_every_epochs=4: the bench exercises the
+    # default-at-scale J1 path (bucketed url_seen base, storage-
+    # partitioned anti-join) mid-crawl, not just the delta path.
+    cfg = default_config(
+        epoch_seconds=180.0, target_domain="", bucketize_seen_every_epochs=4
+    )
     tmp = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         store = StateStore(tmp, spark)

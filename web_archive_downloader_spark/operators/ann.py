@@ -158,9 +158,13 @@ def ivf_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
+    # candidate sets are list-bounded, but still pre-reduce so the
+    # final per-query window never funnels a hot probe list through
+    # one task (same pattern as brute_force_topk)
+    reduced = local_topk_reduce(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
@@ -236,9 +240,13 @@ def lsh_bucketed_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
+    # bucket-bounded candidates, but a hot bucket union can still be
+    # large — pre-reduce before the per-query window (see
+    # brute_force_topk)
+    reduced = local_topk_reduce(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )

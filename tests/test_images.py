@@ -90,3 +90,43 @@ def test_caption_extraction_matches_reference_semantics(spark):
                 assert (u, abs_src, alt) in got
                 checked += 1
     assert checked >= 10  # the lattice actually exercised captions
+
+
+def test_phash_near_dups_blocking_exact(spark):
+    """phash near-dup pairs: the pigeonhole-blocked join finds EXACTLY
+    the pairs an all-pairs hamming scan finds (<= max_hamming), with
+    correct distances — planted near-identical phashes and random
+    distant ones."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from web_archive_downloader_spark.operators.images import phash_near_dups
+
+    rng = random.Random(7)
+    base = rng.getrandbits(63)
+    rows = [
+        ("img00", base),
+        ("img01", base ^ 1),            # hamming 1
+        ("img02", base ^ (1 << 40)),    # hamming 1
+        ("img03", base),                # hamming 0 (exact dup)
+    ]
+    for i in range(4, 40):
+        rows.append((f"img{i:02d}", rng.getrandbits(63)))
+    pdf = pd.DataFrame(rows, columns=["image_id", "phash"])
+    df = spark.createDataFrame(pdf)
+
+    got = {
+        (r.img_a, r.img_b): r.hamming
+        for r in phash_near_dups(df, max_hamming=6).collect()
+    }
+    exp = {}
+    for (ia, pa), (ib, pb) in itertools.combinations(rows, 2):
+        ham = bin(pa ^ pb).count("1")
+        if ham <= 6:
+            a, b = sorted((ia, ib))
+            exp[(a, b)] = ham
+    assert got == exp
+    assert got[("img00", "img01")] == 1
+    assert got[("img00", "img03")] == 0

@@ -87,6 +87,62 @@ def decode_validate_stage(images: DataFrame) -> DataFrame:
     return images.mapInPandas(run, out_schema)
 
 
+def phash_near_dups(
+    images: DataFrame, max_hamming: int = 6, chunks: int = 8
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the image-payload analog of dedup.simhash_near_dups, for dedup of
+    a crawled image+caption corpus before training.
+
+    Pigeonhole blocking: the 64-bit phash splits into ``chunks`` equal
+    slices; a pair within hamming <= chunks-1 differs in at most
+    chunks-1 slices, so at least one slice matches exactly — candidates
+    form via an equi-join on (chunk, slice), never an all-pairs
+    comparison. Exact hamming (bit_count of xor, JVM-side) then filters
+    to ``max_hamming``. Output: (img_a, img_b, hamming), img_a < img_b.
+
+    Scale: one explode (xchunks), one equi-join keyed (chunk, slice);
+    pair volume is quadratic only within a slice bucket. phash is a
+    metadata column — the payload bytes are never scanned."""
+    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming <= chunks-1"
+    width = 64 // chunks
+    keyed = images.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("phash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("image_id", "phash", "ck.chunk", "ck.key")
+    l, r = keyed.alias("l"), keyed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.image_id") < F.col("r.image_id")),
+        )
+        .select(
+            F.col("l.image_id").alias("img_a"),
+            F.col("r.image_id").alias("img_b"),
+            F.bit_count(
+                F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 _CAPTION_TYPE = T.ArrayType(
     T.StructType(
         [

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from web_archive_downloader_spark.operators.schedule import per_host_topk
 
 
-def _skewed_frontier(spark, hot_n=50_000, cold_hosts=50, cold_n=1_000):
+def _skewed_frontier(spark, hot_n=24_000, cold_hosts=24, cold_n=1_000):
     rows = []
     for i in range(hot_n):
         rows.append((f"https://hot.com/{i}", "hot.com"))
@@ -42,7 +42,7 @@ def test_salted_topk_spreads_hot_host(spark):
             .collect()
         )
         assert len(spread) == S  # hot host occupies every salt bucket
-        assert max(r["count"] for r in spread) < 2 * 50_000 / S
+        assert max(r["count"] for r in spread) < 2 * 24_000 / S
         out = per_host_topk(df, k=k, salt_buckets=S)
         got = out.groupBy("host").count().collect()
         by_host = {r.host: r["count"] for r in got}
@@ -82,7 +82,7 @@ def test_aqe_skew_join_mitigation_engages(spark):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        n = 120_000
+        n = 60_000
         left = spark.range(n).select(
             F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 97).alias("key"),
             F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pl"),

@@ -138,3 +138,68 @@ def test_frontier_feed_applies_server_filter(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.url for r in drain_frontier_inbox(spark, inbox).collect()}
     assert got == {"https://ex.com/good", "https://ex.com/prefiltered"}
+
+
+def test_crawl_with_continuous_frontier_ingestion(spark, tmp_path):
+    """Streaming->batch handoff end-to-end: a crawl seeded from a CDX
+    list completes; new feed shards land in the inbox via
+    stream_frontier_feed; a resumed run with inbox_dir drains them
+    exactly once (batch ids recorded atomically with the frontier
+    replacement) — every streamed url processed exactly once, ordered
+    AFTER the whole seed crawl in feed order; re-triggering the stream
+    and re-running adds nothing."""
+    from web_archive_downloader_spark.datagen import default_config, gen_cdx_records
+    from web_archive_downloader_spark.plans.crawl import (
+        PROCESSED_SCHEMA,
+        CrawlPlan,
+    )
+    from web_archive_downloader_spark.sources.cdx import cdx_dataframe
+    from web_archive_downloader_spark.sources.state import StateStore
+    from web_archive_downloader_spark.streaming.events import CDX_STREAM_SCHEMA
+
+    raw1 = gen_cdx_records(n_urls=15, seed=23)
+    cfg = default_config(epoch_seconds=60.0, max_retries=2)
+    store = StateStore(str(tmp_path / "st"), spark)
+    plan = CrawlPlan(spark, store, cfg)
+    inbox = str(tmp_path / "inbox")
+    plan.run(cdx_dataframe(spark, raw1), inbox_dir=inbox)  # inbox absent: plain run
+    seed_order = [
+        r.url for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
+    ]
+    assert seed_order
+
+    # two feed shards arrive (distinct urls incl. a dup snapshot pair)
+    streamed = [
+        ("https://example.com/streamed-a", "20230101000000", "text/html", None, 0),
+        ("https://example.com/streamed-b", "20230102000000", "text/html", None, 1),
+        ("https://example.com/streamed-a", "20230201000000", "text/html", None, 2),
+    ]
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame(streamed[:2], CDX_STREAM_SCHEMA).write.parquet(in_dir + "/s1")
+    spark.createDataFrame(streamed[2:], CDX_STREAM_SCHEMA).write.parquet(in_dir + "/s2")
+    q = stream_frontier_feed(spark, in_dir + "/*", inbox, ckpt)
+    q.awaitTermination(120)
+
+    plan2 = CrawlPlan(spark, store, cfg)
+    plan2.run(cdx_dataframe(spark, raw1), resume=True, inbox_dir=inbox)
+    processed = store.read("processed", PROCESSED_SCHEMA)
+    rows = processed.orderBy("seq").collect()
+    order = [r.url for r in rows]
+    # seed crawl order untouched, streamed urls appended in feed order
+    assert order[: len(seed_order)] == seed_order
+    tail = order[len(seed_order):]
+    assert tail == [
+        "https://example.com/streamed-a",  # latest-per-url, first-appearance
+        "https://example.com/streamed-b",
+    ]
+    assert all(r.seq >= CrawlPlan.INGEST_SEQ_BASE for r in rows[len(seed_order):])
+    # exactly once each
+    counts = processed.groupBy("url").count().filter("count > 1").count()
+    assert counts == 0
+
+    # re-trigger the stream (nothing new) + re-run: no duplicates
+    q2 = stream_frontier_feed(spark, in_dir + "/*", inbox, ckpt)
+    q2.awaitTermination(120)
+    plan3 = CrawlPlan(spark, store, cfg)
+    plan3.run(cdx_dataframe(spark, raw1), resume=True, inbox_dir=inbox)
+    assert store.read("processed", PROCESSED_SCHEMA).count() == len(order)

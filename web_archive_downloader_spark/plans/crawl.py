@@ -744,8 +744,82 @@ class CrawlPlan:
         self.store._write_manifest(m)
         self._bloom_stats = None
 
+    # ---- continuous frontier ingestion (streaming inbox) ----
+    # Ingested candidates order AFTER every CDX seed and BEFORE link
+    # expansions: seq = 2^45 + batch_id*2^25 + first-appearance feed
+    # seq (seeds < 2^45; expansions carry depth>=1 in bits >= 2^50).
+    INGEST_SEQ_BASE = 1 << 45
+    _INGEST_EPOCH_BASE = 1_000_000  # frontier dir namespace for drains
+
+    def ingest_inbox(self, inbox_dir: str) -> int:
+        """Drain landed ``stream_frontier_feed`` batches into the
+        frontier between epochs — the batch half of the continuous-
+        ingestion contract (streaming/events.py). Exactly once per
+        batch dir: drained ids commit atomically WITH the frontier
+        replacement (StateStore.append_frontier_ingest); a re-run of
+        the stream or of the drain cannot duplicate rows.
+
+        Semantics mirror the CDX seed path: A1 latest-snapshot-per-URL
+        with first-appearance order within the drained set, then an
+        anti-join drops urls already in the frontier (url_seen dedup
+        stays in the epoch J1 anti-join). Returns rows ingested."""
+        import os
+
+        store = self.store
+        if not os.path.isdir(inbox_dir):
+            return 0
+        done = store.ingested_batches()
+        batches = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(inbox_dir)
+            if e.startswith("batch=")
+        )
+        new = [b for b in batches if b not in done]
+        if not new:
+            return 0
+        if new[-1] >= (1 << 19):
+            raise ValueError("inbox batch id exceeds seq-packing headroom (2^19)")
+        cand = None
+        for b in new:
+            df = self.spark.read.parquet(f"{inbox_dir}/batch={b}").withColumn(
+                "__b", F.lit(b)
+            )
+            cand = df if cand is None else cand.unionByName(df)
+        # composite pre-seq: drained-set order = (batch, feed seq)
+        if cand.filter(F.col("seq") >= (1 << 25)).count():
+            raise ValueError("feed seq exceeds seq-packing headroom (2^25)")
+        pre = cand.select(
+            "url", "ts",
+            (F.col("__b") * F.lit(1 << 25) + F.col("seq")).alias("seq"),
+        )
+        latest = latest_snapshot_per_url(pre)
+        frontier = store.read_latest_only("frontier", FRONTIER_SCHEMA)
+        fresh = latest.join(frontier.select("url"), "url", "left_anti").select(
+            "url",
+            "ts",
+            url_host_col(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(0.0).alias("priority"),
+            (F.lit(self.INGEST_SEQ_BASE) + F.col("seq")).alias("seq"),
+            F.lit(1).alias("attempt"),
+            F.lit(0).alias("eligible_epoch"),
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation(f"ingest_{new[-1]}")
+        merged = frontier.unionByName(fresh.observe(obs, F.count(F.lit(1)).alias("n")))
+        path = store.stage("frontier", self._INGEST_EPOCH_BASE + new[-1], merged)
+        store.append_frontier_ingest(path, new)
+        return int(obs.get["n"])
+
     # ---- full run ----
-    def run(self, cdx: DataFrame, max_epochs: int = 200, resume: bool = False) -> CrawlRunStats:
+    def run(
+        self,
+        cdx: DataFrame,
+        max_epochs: int = 200,
+        resume: bool = False,
+        inbox_dir: str | None = None,
+    ) -> CrawlRunStats:
         stats = CrawlRunStats()
         store = self.store
         start_epoch = store.last_epoch + 1
@@ -762,6 +836,10 @@ class CrawlPlan:
         compact_every = self.config.compact_every_epochs
         bucketize_every = self.config.bucketize_seen_every_epochs
         for epoch in range(start_epoch, max_epochs):
+            if inbox_dir:
+                # continuous ingestion: drain streaming feed batches
+                # landed since the last epoch (exactly once per batch)
+                pending += self.ingest_inbox(inbox_dir)
             if pending == 0:
                 break
             n, pending = self.run_epoch(epoch)

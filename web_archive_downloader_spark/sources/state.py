@@ -312,6 +312,22 @@ class StateStore:
             shutil.rmtree(p, ignore_errors=True)
         return len(paths)
 
+    def append_frontier_ingest(self, path: str, batch_ids: list[int]) -> None:
+        """Record a frontier replacement produced by draining streaming
+        inbox batches: the new frontier path and the drained batch ids
+        commit in ONE atomic manifest swap — a crash beforehand leaves
+        an orphan dir and unrecorded batches, re-ingested idempotently
+        on retry."""
+        manifest = self.read_manifest()
+        manifest["tables"].setdefault("frontier", []).append(path)
+        ing = manifest.setdefault("ingested_batches", {})
+        for b in batch_ids:
+            ing[str(b)] = path
+        self._write_manifest(manifest)
+
+    def ingested_batches(self) -> set[int]:
+        return {int(b) for b in self.read_manifest().get("ingested_batches", {})}
+
     def truncate_to_epoch(self, epoch: int) -> None:
         """Test helper: roll the manifest back (kill-and-resume tests).
         Refuses to roll back past a compaction point — that history
@@ -330,6 +346,14 @@ class StateStore:
             for t, ps in manifest["tables"].items()
         }
         manifest["tables"] = {t: ps for t, ps in manifest["tables"].items() if ps}
+        # inbox batches whose frontier dir was rolled away must be
+        # re-ingestable
+        kept_frontier = set(manifest["tables"].get("frontier", []))
+        manifest["ingested_batches"] = {
+            b: p
+            for b, p in manifest.get("ingested_batches", {}).items()
+            if p in kept_frontier
+        }
         manifest["epoch"] = epoch
         self._write_manifest(manifest)
 

@@ -59,7 +59,10 @@ _SIG_CACHE: dict = {}
 
 
 def _sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a stopped session's id can
+    # be reused by CPython, which would serve a checkpointed frame
+    # bound to a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     ent = _SIG_CACHE.get(key)
     if ent is None:
         ent = minhash_signatures(_t(spark, sf_dir, "documents"), k=16).localCheckpoint(

@@ -95,3 +95,62 @@ def test_politeness_pacer_sleeps_to_absolute_slots():
     now["t"] = 200.0
     pacer(4.5)
     assert slept == [1.5, 1.5]
+
+
+def test_politeness_pacer_per_host_floor_when_late():
+    """A task running late must still keep same-host requests >= delay
+    apart within its partition: the floor is last same-host fire +
+    delay, not just the (already passed) slot."""
+    now = {"t": 105.0}  # task starts 5s after epoch_start
+    slept = []
+
+    def fake_now():
+        return now["t"]
+
+    def fake_sleep(s):
+        slept.append(round(s, 6))
+        now["t"] += s
+
+    pacer = politeness_pacer(
+        epoch_start=100.0, delay_seconds=1.5, now=fake_now, sleep=fake_sleep
+    )
+    pacer(0.0, "a.com")   # slot long passed: fires immediately at 105
+    pacer(1.5, "a.com")   # slot passed too, but floor = 105 + 1.5
+    assert slept == [1.5]
+    pacer(3.0, "b.com")   # other host: slot passed, no floor yet
+    assert slept == [1.5]
+    pacer(4.5, "b.com")   # floor for b.com = 106.5 + 1.5 = 108 > now
+    assert slept == [1.5, 1.5]
+
+
+def test_fetch_colocate_hosts_strict_mode(spark, tmp_path):
+    """fetch_colocate_hosts=True: every host's scheduled rows share one
+    fetch partition (the pacer floor becomes a strict global
+    guarantee) and the crawl still matches the oracle exactly."""
+    from web_archive_downloader_spark.datagen import default_config, gen_cdx_records
+    from web_archive_downloader_spark.oracle.simulator import run_oracle
+    from web_archive_downloader_spark.plans.crawl import PROCESSED_SCHEMA, CrawlPlan
+    from web_archive_downloader_spark.sources.cdx import cdx_dataframe
+    from web_archive_downloader_spark.sources.state import StateStore
+
+    # relational property: host-keyed repartition co-locates
+    df = _frontier(spark).repartition(8, F.col("host"))
+    spread = (
+        df.withColumn("p", F.spark_partition_id())
+        .groupBy("host")
+        .agg(F.countDistinct("p").alias("nparts"))
+        .collect()
+    )
+    assert all(r.nparts == 1 for r in spread)
+
+    # e2e equality with the strict mode on
+    raw = gen_cdx_records(n_urls=20, seed=31)
+    cfg = default_config(
+        epoch_seconds=60.0, max_retries=2, fetch_colocate_hosts=True
+    )
+    store = StateStore(str(tmp_path / "cl"), spark)
+    CrawlPlan(spark, store, cfg).run(cdx_dataframe(spark, raw))
+    got = [
+        r.url for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
+    ]
+    assert got == run_oracle(raw, cfg).crawl_order

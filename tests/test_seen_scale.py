@@ -192,3 +192,31 @@ def test_bucketized_base_joins_without_big_side_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         store.destroy()
+
+
+def test_legacy_bloom_dirs_read_with_null_version(spark, tmp_path):
+    """Dirs written by the pre-versioning layout (no `version` column)
+    must read as null-version rows (schema-on-read) and disable Bloom
+    routing — NOT crash the union or the stats aggregate."""
+    from web_archive_downloader_spark.plans.crawl import CrawlPlan
+    from web_archive_downloader_spark.config import EngineConfig
+
+    store = StateStore(str(tmp_path / "lg"), spark)
+    legacy = spark.createDataFrame(
+        [(0, bytearray(b"\x00" * 48))], "partition_id int, sketch binary"
+    )
+    path = store.stage("bloom", 0, legacy)
+    store.commit(0, {"bloom": path})
+    plan = CrawlPlan(spark, store, EngineConfig())
+    sketch_df = store.read("bloom", plan._bloom_schema())
+    assert {f.name for f in sketch_df.schema.fields} == {
+        "partition_id", "sketch", "version"
+    }
+    rows = sketch_df.collect()
+    assert rows and rows[0].version is None
+    out, mode = unseen_with_bloom_state(
+        _urls_df(spark, 0, 50), _seen_df(spark, 0, 20), sketch_df, 8, spark
+    )
+    assert mode == "exact"
+    assert out.count() == 30
+    store.destroy()

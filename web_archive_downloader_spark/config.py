@@ -96,6 +96,14 @@ class EngineConfig:
     # Cap on <a href> links taken per page during expansion (canonical
     # sorted order, so the cap is deterministic).
     max_links_per_page: int = 64
+    # Fetch-stage partitioning: False (default) scatters by url hash —
+    # full parallelism, politeness enforced by the pace-slot calendar
+    # (spacing guaranteed when tasks launch on schedule; a straggler
+    # task can compress cross-partition same-host gaps by its
+    # lateness). True co-locates each host's rows in one partition so
+    # the pacer's per-host floor is a STRICT global guarantee — at the
+    # cost of serializing single-domain crawls onto one task.
+    fetch_colocate_hosts: bool = False
     # CDX feed provenance (F2/F3 null semantics, sources/cdx.py):
     # True = feed was server-filtered upstream, null status/mimetype
     # rows pass; False = mixed feed, nulls drop (strict 200+text/html).

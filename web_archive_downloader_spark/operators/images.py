@@ -104,7 +104,8 @@ def phash_near_dups(
     Scale: one explode (xchunks), one equi-join keyed (chunk, slice);
     pair volume is quadratic only within a slice bucket. phash is a
     metadata column — the payload bytes are never scanned."""
-    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming <= chunks-1"
+    if max_hamming >= chunks:  # not an assert: must survive python -O
+        raise ValueError("pigeonhole guarantee needs max_hamming <= chunks-1")
     width = 64 // chunks
     keyed = images.select(
         "image_id",
@@ -138,8 +139,10 @@ def phash_near_dups(
                 F.col("l.phash").bitwiseXOR(F.col("r.phash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: a hot slice bucket emits quadratic
+        # candidates — dedup only the survivors, not the discards
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

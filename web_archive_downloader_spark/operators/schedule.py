@@ -64,19 +64,23 @@ def pace_slot_col(delay_seconds: float, rank_col: str = "host_rank"):
     """Politeness pace CALENDAR (intra-epoch rate bound): request
     number r to a host fires at absolute time
     epoch_start + (r-1)*delay. Ranks are dense and unique per host
-    (per_host_topk's row_number), so any two same-host requests are
-    >= delay apart BY CONSTRUCTION, regardless of which partition or
-    task executes them — pacing needs no same-host co-location.
+    (per_host_topk's row_number), so when tasks fire on schedule any
+    two same-host requests are >= delay apart in ANY partition layout
+    — pacing needs no same-host co-location in the common case. A
+    straggler task can compress a cross-partition same-host gap by at
+    most its lateness; the pacer additionally enforces a per-host
+    floor WITHIN its partition even when late
+    (fetch_shim.politeness_pacer), and strict deployments set
+    EngineConfig.fetch_colocate_hosts to make that floor a global
+    guarantee.
 
-    This is deliberately NOT per-partition serialization: the
+    Default is deliberately NOT per-partition serialization: the
     reference's whole workload is a single host (target_domain), so
     host-keyed co-location would funnel the entire fetch stage through
     one task; the calendar keeps url-hash scatter (full parallelism
-    across hosts AND within a host's budget) while enforcing the
-    per-request delay. Fetchers sleep to their slots
-    (sources/fetch_shim.py:politeness_pacer); the per-epoch budget
-    floor(epoch_seconds/delay) guarantees every slot fits inside the
-    epoch."""
+    across hosts AND within a host's budget) while bounding the
+    per-request rate. The per-epoch budget floor(epoch_seconds/delay)
+    guarantees every slot fits inside the epoch."""
     return (F.col(rank_col) - 1).cast("double") * F.lit(float(delay_seconds))
 
 

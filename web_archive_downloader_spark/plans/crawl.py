@@ -25,11 +25,13 @@ Politeness: scheduling grants <= floor(epoch_seconds/delay) fetches
 per host per epoch (VOLUME cap, enforced relationally by the top-k);
 the pace CALENDAR bounds the RATE — each granted request carries
 pace_slot = (host_rank-1)*delay, an absolute offset from epoch start,
-so same-host requests are >= delay apart by construction in any
-partition layout (operators/schedule.py:pace_slot_col). The fetch
-stage fires rows in slot order and, in live deployments, sleeps each
-row to its slot (fetch_shim.politeness_pacer). Lineage records
-per-epoch per-host grants so the budget invariant is auditable.
+so same-host requests fire >= delay apart in any partition layout
+when tasks launch on schedule (operators/schedule.py:pace_slot_col).
+The fetch stage fires rows in slot order; live deployments sleep each
+row to max(its slot, partition's last same-host fire + delay) via
+fetch_shim.politeness_pacer, and fetch_colocate_hosts=True makes the
+per-host floor a strict global guarantee. Lineage records per-epoch
+per-host grants so the budget invariant is auditable.
 """
 
 from __future__ import annotations
@@ -319,7 +321,11 @@ class CrawlPlan:
         par = min(
             self.spark.sparkContext.defaultParallelism, max(1, n_sched // 8)
         )
-        fetched = fetch_stage(sched.repartition(par, F.col("url"))).cache()
+        # strict-politeness deployments co-locate hosts (the pacer's
+        # per-host floor then bounds spacing globally); default scatter
+        # keeps single-domain crawls parallel — see config.py
+        fetch_key = F.col("host") if cfg.fetch_colocate_hosts else F.col("url")
+        fetched = fetch_stage(sched.repartition(par, fetch_key)).cache()
         routed = (
             fetched.withColumn(
                 "route", route_col(F.col("outcome"), F.col("attempt"), cfg.max_retries)
@@ -571,10 +577,9 @@ class CrawlPlan:
                 staged[t] = fut.result()
         t0 = mark("sibling_writes", t0)
         store.commit(epoch, staged)
-        # packed-dir size upper-bounds the sketch bytes (other members
-        # share the dir), so the broadcast threshold flips early —
-        # conservative, never unsafe
-        self._advance_bloom_stats(staged["__state__"])
+        # seen_new rows <= n_sched; the analytic bound only needs an
+        # upper bound on this epoch's new-seen row count
+        self._advance_bloom_stats(n_sched)
         n_pending = int(obs_frontier.get["n"])
         for df in (sched, unseen, fetched, routed, extracted, mem_extracted, assets):
             df.unpersist()
@@ -593,24 +598,30 @@ class CrawlPlan:
             self._bloom_stats = sketch_stats(sketch_df)
         return self._bloom_stats
 
-    def _advance_bloom_stats(self, staged_path: str) -> None:
-        """Fold a freshly staged bloom dir into the cached stats: the
-        rows were written by THIS engine (version current, >=1 row);
-        the dir's file bytes upper-bound the sketch bytes, so the
-        broadcast-mode threshold flips conservatively early."""
-        import os
+    def _advance_bloom_stats(self, n_new_rows: int) -> None:
+        """Advance the cached sketch-byte total ANALYTICALLY — a true
+        upper bound on the blob bytes build_bloom_sketches can have
+        written this epoch. (Compressed parquet file sizes UNDER-
+        estimate blob bytes — a sparse bitmap compresses to KBs — and
+        would let broadcast mode run far past bloom_broadcast_max_bytes,
+        exactly the unbounded-memory mode the bound exists to prevent.)
+        Bound: every non-empty pid sized as if it held ALL new rows
+        (each pid's actual sketch is <= that), capped at the per-sketch
+        saturation bound. Over-estimating flips to cogroup mode early —
+        conservative in the safe direction."""
+        import math
 
-        if self._bloom_stats is None:
+        if self._bloom_stats is None or n_new_rows <= 0:
             return
-        nbytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(staged_path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        from ..operators.seen import DEFAULT_MAX_BITS_PER_SKETCH
+
+        expected = max(4096, n_new_rows)
+        n_bits = int(-expected * math.log(self.config.bloom_fpp) / (math.log(2) ** 2))
+        n_bits = max(128, min((n_bits + 63) // 64 * 64, DEFAULT_MAX_BITS_PER_SKETCH))
+        n_sketches = min(self.config.seen_partitions, n_new_rows)
         self._bloom_stats = {
-            "n": self._bloom_stats["n"] + 1,
-            "nbytes": self._bloom_stats["nbytes"] + nbytes,
+            "n": self._bloom_stats["n"] + n_sketches,
+            "nbytes": self._bloom_stats["nbytes"] + n_sketches * (32 + n_bits // 8),
             "bad": self._bloom_stats["bad"],
         }
 
@@ -769,10 +780,16 @@ class CrawlPlan:
         if not os.path.isdir(inbox_dir):
             return 0
         done = store.ingested_batches()
+        # foreachBatch's parquet write is not atomic: the dir exists
+        # (holding _temporary, then a growing subset of part files) for
+        # the whole job. Drain ONLY dirs carrying the _SUCCESS marker —
+        # an in-flight batch is left for the next drain; recording a
+        # partially-read batch as ingested would silently drop rows.
         batches = sorted(
             int(e.split("=", 1)[1])
             for e in os.listdir(inbox_dir)
             if e.startswith("batch=")
+            and os.path.exists(os.path.join(inbox_dir, e, "_SUCCESS"))
         )
         new = [b for b in batches if b not in done]
         if not new:

@@ -35,7 +35,14 @@ def cdx_dataframe(spark: SparkSession, raw_records: list[list]) -> DataFrame:
     malformed rows) -> typed CDX DataFrame with file-order seq.
     Malformed short rows become null-padded (dropped by valid_cdx).
     An optional 4th element is the HTTP statuscode (feeds that carry
-    it); 3-element feeds get a null status (pre-filtered upstream)."""
+    it); 3-element feeds get a null status (pre-filtered upstream).
+
+    Revisit records (real Wayback feeds: status '-', mimetype
+    'warc/revisit') null-pad their status; the MIMETYPE predicate in
+    cdx_server_filter still drops them in either mode. A feed whose
+    rows can carry null status AND null mimetype on non-captures is by
+    definition mixed-provenance — ingest it with
+    prefiltered_feed=False (nulls drop)."""
     if raw_records and raw_records[0] == ["original", "timestamp", "mimetype"]:
         raw_records = raw_records[1:]
     rows = []

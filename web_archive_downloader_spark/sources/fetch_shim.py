@@ -43,21 +43,35 @@ from ..content.paths import page_dir
 from ..datagen import asset_bytes, wayback_fetch_sim
 
 
-def politeness_pacer(epoch_start: float, now=None, sleep=None):
-    """Production pace enforcement: returns wait(slot) which blocks
-    until ``epoch_start + slot`` on a monotonic clock (never sleeps if
-    the slot already passed — a late task just proceeds, widening the
-    gap, which can only increase same-host spacing). Injectable clock
-    for tests; defaults to time.monotonic/time.sleep."""
+def politeness_pacer(epoch_start: float, delay_seconds: float = 0.0, now=None, sleep=None):
+    """Production pace enforcement: returns wait(slot, host=None) which
+    blocks until BOTH (a) ``epoch_start + slot`` on a monotonic clock
+    and (b) the partition's last fire to ``host`` + ``delay_seconds``.
+    The per-host floor (b) matters when a task runs LATE: slots alone
+    would let a delayed rank-1 request fire right before an on-time
+    rank-2 request — the floor re-spaces them to >= delay within the
+    partition regardless of lateness. With fetch co-location
+    (EngineConfig.fetch_colocate_hosts) all of a host's rows share one
+    partition and the floor is a strict global guarantee; in scatter
+    mode the calendar guarantees spacing when tasks launch on schedule
+    (the normal case — a stage's tasks start together) and stragglers
+    can compress cross-partition gaps by at most their lateness.
+    Injectable clock for tests; defaults to time.monotonic/time.sleep."""
     import time as _time
 
     now = now or _time.monotonic
     sleep = sleep or _time.sleep
+    last_fire: dict[str, float] = {}
 
-    def wait(slot: float) -> None:
-        remaining = epoch_start + slot - now()
+    def wait(slot: float, host: str | None = None) -> None:
+        target = epoch_start + slot
+        if host is not None and host in last_fire:
+            target = max(target, last_fire[host] + delay_seconds)
+        remaining = target - now()
         if remaining > 0:
             sleep(remaining)
+        if host is not None:
+            last_fire[host] = now()
 
     return wait
 
@@ -83,9 +97,13 @@ def fetch_stage(scheduled: DataFrame, pacer=None) -> DataFrame:
                 sort_cols = ["pace_slot"] + (["seq"] if "seq" in pdf.columns else [])
                 pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
             outcomes, htmls = [], []
+            hosts = pdf["host"] if "host" in pdf.columns else None
             for i, (url, attempt) in enumerate(zip(pdf["url"], pdf["attempt"])):
                 if paced and pacer is not None:
-                    pacer(float(pdf["pace_slot"].iloc[i]))
+                    pacer(
+                        float(pdf["pace_slot"].iloc[i]),
+                        hosts.iloc[i] if hosts is not None else None,
+                    )
                 o, h = wayback_fetch_sim(url, int(attempt))
                 outcomes.append(o)
                 htmls.append(h)

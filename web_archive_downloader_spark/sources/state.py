@@ -182,10 +182,18 @@ class StateStore:
         manifest = self.read_manifest()
         ptr = manifest.get("bucketed", {}).get(table)
         base = self.spark.table(ptr["name"]) if ptr else None
+        if schema is None and table in _PACKED_FIELDS:
+            schema = _member_schema(table)  # normalize legacy dirs for the union
         parts = []
         paths = manifest["tables"].get(table, [])
         if paths:
-            parts.append(self.spark.read.parquet(*paths))
+            # apply the caller's schema to the scan (schema-on-read):
+            # dirs written by an OLDER layout may lack newly added
+            # columns (e.g. bloom's `version`) — they must read as
+            # nulls, exactly the documented cross-version fallback,
+            # not crash the union/consumer with UNRESOLVED_COLUMN
+            reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+            parts.append(reader.parquet(*paths))
         if table in _PACKED_FIELDS:
             packed = self._packed_member(table, manifest)
             if packed is not None:

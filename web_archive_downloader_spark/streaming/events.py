@@ -59,7 +59,11 @@ def stream_cdx_ingest(
 
 
 def stream_frontier_feed(
-    spark: SparkSession, in_dir: str, inbox_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    in_dir: str,
+    inbox_dir: str,
+    checkpoint_dir: str,
+    prefiltered_feed: bool = True,
 ):
     """Continuous frontier feed via foreachBatch: CDX shards land as
     files; each micro-batch validates rows, shapes them as frontier
@@ -78,9 +82,11 @@ def stream_frontier_feed(
         .parquet(in_dir)
     )
     # same F2/F3 gate as the batch seed path: a status-bearing shard's
-    # non-200 / non-html rows must not enter the frontier via streaming
-    # (shards missing the columns read as null and pass — prefiltered)
-    feed = valid_cdx(cdx_server_filter(raw)).select(
+    # non-200 / non-html rows must not enter the frontier via streaming.
+    # Thread prefiltered_feed from EngineConfig exactly like
+    # seed_frontier_from_cdx — strict deployments (mixed-provenance
+    # feeds) drop null status/mimetype rows here too.
+    feed = valid_cdx(cdx_server_filter(raw, prefiltered_feed=prefiltered_feed)).select(
         "url",
         "ts",
         F.parse_url("url", F.lit("HOST")).alias("host"),

@@ -257,12 +257,45 @@ def compute_batch_main() -> None:
     spark.stop()
 
 
+def _submit_cmd(cpus: int, pages_dir: str, pkg_zip: str) -> list[str]:
+    """The north-rule launch mode: spark-submit --py-files at a given
+    cluster size; the packaged zip (not the checkout) serves executors."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    return [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--py-files", pkg_zip,
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.sql.shuffle.partitions={cpus}",
+        os.path.join(repo, "submit_job.py"),
+        "--compute-batch", pages_dir,
+    ]
+
+
+def _build_pkg_zip(dest_dir: str) -> str:
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pkg_zip = os.path.join(dest_dir, "wads.zip")
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        for root, _, files in os.walk(os.path.join(repo, "web_archive_downloader_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
+    return pkg_zip
+
+
 def scaling() -> None:
     """N vs 4N protocol (BASELINE.md): same compute-stage job, same
-    parquet input, local[8] vs local[32]; eff = tput(32)/(4*tput(8))."""
+    parquet input, local[8] vs local[32]; eff = tput(32)/(4*tput(8)).
+    SPARK_GRAFT_SCALING_VIA_SUBMIT=1 launches each measurement through
+    ``spark-submit --py-files`` (the north-rule launch mode) instead of
+    a plain python subprocess — same job, same numbers protocol."""
     from web_archive_downloader_spark.session import get_spark
 
     n = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "40000"))
+    via_submit = os.environ.get("SPARK_GRAFT_SCALING_VIA_SUBMIT") == "1"
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
     gen_spark = get_spark("pagegen", cores=32, shuffle_partitions=32)
     materialize_pages(gen_spark, n, pages_dir)
@@ -270,17 +303,22 @@ def scaling() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     results = {}
+    pkg_dir = tempfile.mkdtemp(prefix="bench_pkg_")
     try:
+        # NOT inside pages_dir — the job scans that dir as parquet
+        pkg_zip = _build_pkg_zip(pkg_dir) if via_submit else None
         for cpus in (8, 32):
             best = None
             for _ in range(repeats):  # shared host: take best-of-N
                 env = dict(
                     os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_PAGES=pages_dir
                 )
-                p = subprocess.run(
-                    [sys.executable, __file__, "--compute-batch"],
-                    capture_output=True, text=True, env=env,
+                cmd = (
+                    _submit_cmd(cpus, pages_dir, pkg_zip)
+                    if via_submit
+                    else [sys.executable, __file__, "--compute-batch"]
                 )
+                p = subprocess.run(cmd, capture_output=True, text=True, env=env)
                 line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
                 r = json.loads(line)
                 if best is None or r["throughput"] > best["throughput"]:
@@ -288,6 +326,7 @@ def scaling() -> None:
             results[cpus] = best
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
+        shutil.rmtree(pkg_dir, ignore_errors=True)
     t8 = results[8]["throughput"]
     t32 = results[32]["throughput"]
     eff = t32 / (4 * t8)

@@ -20,7 +20,52 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def compute_batch_main(pages_path: str) -> None:
+    """The scaling-protocol job under spark-submit (north-rule launch
+    mode: ``spark-submit --py-files`` at two cluster sizes). Master,
+    shuffle partitions and scan-split confs come from the submit
+    command line; the job body is bench.run_compute_batch."""
+    from pyspark import SparkConf
+
+    builder = (
+        SparkSession.builder.appName("wads_scalebench")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+    )
+    if not SparkConf().contains("spark.sql.shuffle.partitions"):
+        builder = builder.config("spark.sql.shuffle.partitions", "16")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    # python-worker spawn + kernel imports paid before the timed region
+    def _warm(batches):
+        from web_archive_downloader_spark.content import extract  # noqa: F401
+
+        for pdf in batches:
+            yield pdf
+
+    cores = spark.sparkContext.defaultParallelism
+    (
+        spark.range(cores * 8)
+        .repartition(cores * 8)
+        .mapInPandas(_warm, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+    import bench  # repo-root module; the script dir is on sys.path
+
+    res = bench.run_compute_batch(spark, pages_path)
+    res["cpus"] = cores
+    print(json.dumps(res))
+    spark.stop()
+
+
 def main() -> None:
+    if "--compute-batch" in sys.argv:
+        compute_batch_main(sys.argv[sys.argv.index("--compute-batch") + 1])
+        return
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     from pyspark import SparkConf
 

@@ -391,6 +391,69 @@ def _q_corpus_selection(spark, sf):
     )
 
 
+def _q_volume_shipping(spark, sf):
+    """Q7-style: revenue flow between supplier-nation and
+    customer-nation pairs per ship year, for two chosen nations. Two
+    broadcast dim joins (nation twice under different roles), big-side
+    joins on the fact keys, partial+final agg."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_moving_avg_events(spark, sf):
+    """Window FRAME analytics: per-user 3-row moving average of event
+    value ordered by (ts, event_id) — one shuffle on the key, frame
+    runs inside the sorted partition."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg3"),
+    )
+
+
+def _q_cube_revenue(spark, sf):
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    pass (Spark expands then partial+final aggregates)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def _q_ann_bruteforce(spark, sf):
     return brute_force_topk(_t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -731,6 +794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "minhash_jaccard_estimate": _q_minhash_jaccard_estimate,
         "corpus_selection": _q_corpus_selection,
+        "volume_shipping": _q_volume_shipping,
+        "moving_avg_events": _q_moving_avg_events,
+        "cube_revenue": _q_cube_revenue,
         "top_customers": _q_top_customers,
         "order_priority_counts": _q_order_priority_counts,
         "part_type_stats": _q_part_type_stats,
@@ -1314,6 +1380,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "text_stats": text_stats_select,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3
+        """,
+        "moving_avg_events": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+            FROM events
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         "minhash_jaccard_estimate": f"""
             WITH {_lsh_cte(16, 4)}
             SELECT c.doc_a, c.doc_b,

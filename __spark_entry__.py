@@ -462,6 +462,25 @@ def _q_text_stats(spark, sf):
     return document_stats(_t(spark, sf, "documents"))
 
 
+def _q_token_counts(spark, sf):
+    """Token counting both ways the brief names: whitespace tokens and
+    a BPE-ish pre-tokenizer regex (sequence-length budgeting before
+    real BPE). Pure scan-side projection; the DuckDB twin runs the
+    same regex under RE2 — leftmost-first alternation matches Java's."""
+    from web_archive_downloader_spark.functions.textstats import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens_ws"),
+        bpe_ish_token_count_col(t).alias("n_tokens_bpe"),
+    )
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic hash-based stratified sampling — the
     training-data downsampling primitive. Per-language keep rates
@@ -795,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_estimate": _q_minhash_jaccard_estimate,
         "corpus_selection": _q_corpus_selection,
         "volume_shipping": _q_volume_shipping,
+        "token_counts": _q_token_counts,
         "moving_avg_events": _q_moving_avg_events,
         "cube_revenue": _q_cube_revenue,
         "top_customers": _q_top_customers,
@@ -1380,6 +1400,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "text_stats": text_stats_select,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS n_tokens_bpe
+            FROM documents
+        """,
         "volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l_shipdate)::BIGINT AS l_year,

@@ -32,6 +32,22 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pre-tokenizer, reduced to the subset Java regex and
+# DuckDB's RE2 execute identically (leftmost-first alternation):
+# contractions, optional-space letter runs, digit runs, symbol runs.
+# This is the "BPE-ish" token count a training pipeline uses to budget
+# sequence lengths before real BPE runs.
+BPE_SPLIT_REGEX = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
+def bpe_ish_tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_REGEX), F.lit(0))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    return F.size(bpe_ish_tokens_col(text))
+
+
 def char_poly_hash_col(text: Column) -> Column:
     """Deterministic rolling fingerprint: fold codepoints with
     h = (h*31 + code) mod 1e9+7 — portable to DuckDB list_reduce.

@@ -203,3 +203,47 @@ def test_crawl_with_continuous_frontier_ingestion(spark, tmp_path):
     plan3 = CrawlPlan(spark, store, cfg)
     plan3.run(cdx_dataframe(spark, raw1), resume=True, inbox_dir=inbox)
     assert store.read("processed", PROCESSED_SCHEMA).count() == len(order)
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: duplicate texts arriving across shards
+    collapse to one surviving row per content hash; a re-trigger over
+    the same input emits nothing new (source checkpoint + dedup
+    state)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from web_archive_downloader_spark.streaming.events import stream_exact_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2023, 1, 1, 12, 0, 0)
+    rows1 = [
+        (1, "alpha beta", t0),
+        (2, "gamma delta", t0),
+        (3, "alpha beta", t0),  # dup of 1, same shard
+    ]
+    rows2 = [
+        (4, "alpha beta", t0 + dt.timedelta(minutes=5)),   # dup across shards
+        (5, "epsilon zeta", t0 + dt.timedelta(minutes=5)),
+    ]
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(rows1, schema).write.parquet(in_dir + "/s1")
+    spark.createDataFrame(rows2, schema).write.parquet(in_dir + "/s2")
+
+    q = stream_exact_dedup(spark, in_dir + "/*", out_dir, ckpt, watermark="1 hour")
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    texts = sorted(r.text for r in out.collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+    # nothing new on re-trigger
+    q2 = stream_exact_dedup(spark, in_dir + "/*", out_dir, ckpt, watermark="1 hour")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 3

@@ -126,6 +126,50 @@ def drain_frontier_inbox(spark: SparkSession, inbox_dir: str) -> DataFrame:
     return spark.read.parquet(inbox_dir).drop("batch")
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming EXACT dedup at the ingestion edge — the streaming
+    member of the dedup family (batch: operators/dedup.exact_dedup).
+    Incoming document rows (doc_id, text, event_time) dedup on
+    md5(text) via ``dropDuplicatesWithinWatermark``: one surviving row
+    per content hash among arrivals within the watermark horizon.
+
+    Scale shape: dedup state is per-key and EXPIRES once the watermark
+    passes a key's horizon — memory is bounded by arrival rate x
+    horizon, never by corpus size (a full-history exact dedup belongs
+    batch-side against a persisted hash table, same split as the
+    frontier's J1 membership). Exactly-once via the source checkpoint
+    + append sink."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(in_dir)
+    )
+    deduped = (
+        stream.withColumn("content_hash", F.md5("text"))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_rates(events: DataFrame, window: str = "1 hour", late: str = "30 minutes") -> DataFrame:
     """Watermarked windowed aggregation over an event stream
     (event_time ts): per-window per-type counts + value stats. Works

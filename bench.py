@@ -37,6 +37,8 @@ HEADLINE = [
     "ann_bruteforce",
     "text_stats",
     "embedding_neardup_lsh",
+    "token_counts",
+    "volume_shipping",
 ]
 
 # Per-query repeats: the host is shared and bursty, so single-shot

@@ -61,8 +61,13 @@ _SIG_CACHE: dict = {}
 def _sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by applicationId, not id(spark): a stopped session's id can
     # be reused by CPython, which would serve a checkpointed frame
-    # bound to a dead SparkContext
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # bound to a dead SparkContext. Entries from OTHER applications are
+    # evicted (one live app per process): dead-session frames must not
+    # accumulate for the process lifetime.
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _SIG_CACHE if k[0] != app]:
+        del _SIG_CACHE[stale]
+    key = (app, sf_dir)
     ent = _SIG_CACHE.get(key)
     if ent is None:
         ent = minhash_signatures(_t(spark, sf_dir, "documents"), k=16).localCheckpoint(

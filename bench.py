@@ -219,39 +219,50 @@ def run_compute_batch(spark, pages_path: str) -> dict:
     return {"urls": n_urls, "seconds": round(dt, 3), "throughput": round(n_urls / dt, 2)}
 
 
-def compute_batch_main() -> None:
-    from web_archive_downloader_spark.session import get_spark
+# fine-grained scan splits: default 128MB packing would quantize
+# ~1.2GB of pages into ~10 tasks — wave-count then caps speedup at
+# ceil(10/8)/ceil(10/32) regardless of cores. 8MB splits ≈ 150
+# tasks ≈ 1s each: wave counts scale with cores again. SHARED by the
+# plain-subprocess and spark-submit launch modes so the cross-mode
+# comparison in BENCH.md stays apples-to-apples.
+SCAN_SPLIT_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(1024 * 1024),
+}
 
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    pages_path = os.environ["SPARK_GRAFT_PAGES"]
-    # fine-grained scan splits: default 128MB packing would quantize
-    # ~1.2GB of pages into ~10 tasks — wave-count then caps speedup at
-    # ceil(10/8)/ceil(10/32) regardless of cores. 8MB splits ≈ 150
-    # tasks ≈ 1s each: wave counts scale with cores again.
-    spark = get_spark(
-        "scalebench", cores=cpus, shuffle_partitions=cpus,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(1024 * 1024),
-        },
-    )
+
+def warm_compute_session(spark) -> None:
+    """JVM + python-worker warmup before the timed region: spawn every
+    worker and pay kernel-module imports — steady-state throughput is
+    the 100TB-relevant number; fork+import is a per-executor one-time
+    cost. Shared by both scaling launch modes."""
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    # spawn every python worker + pay kernel-module imports BEFORE the
-    # timed region: steady-state throughput is the 100TB-relevant
-    # number; worker fork+import is a per-executor one-time cost
     def _warm(batches):
         from web_archive_downloader_spark.content import extract  # noqa: F401
 
         for pdf in batches:
             yield pdf
 
+    cores = spark.sparkContext.defaultParallelism
     (
-        spark.range(cpus * 8)
-        .repartition(cpus * 8)
+        spark.range(cores * 8)
+        .repartition(cores * 8)
         .mapInPandas(_warm, "id long")
         .write.format("noop").mode("overwrite").save()
     )
+
+
+def compute_batch_main() -> None:
+    from web_archive_downloader_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages_path = os.environ["SPARK_GRAFT_PAGES"]
+    spark = get_spark(
+        "scalebench", cores=cpus, shuffle_partitions=cpus,
+        extra_conf=dict(SCAN_SPLIT_CONF),
+    )
+    warm_compute_session(spark)
 
     res = run_compute_batch(spark, pages_path)
     res["cpus"] = cpus
@@ -321,8 +332,13 @@ def scaling() -> None:
                     else [sys.executable, __file__, "--compute-batch"]
                 )
                 p = subprocess.run(cmd, capture_output=True, text=True, env=env)
-                line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-                r = json.loads(line)
+                lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+                if p.returncode != 0 or not lines:
+                    raise RuntimeError(
+                        f"scaling child failed (rc={p.returncode}, cmd={cmd[0]}): "
+                        f"{p.stderr[-2000:]}"
+                    )
+                r = json.loads(lines[-1])
                 if best is None or r["throughput"] > best["throughput"]:
                     best = r
             results[cpus] = best

@@ -27,37 +27,23 @@ def compute_batch_main(pages_path: str) -> None:
     command line; the job body is bench.run_compute_batch."""
     from pyspark import SparkConf
 
+    import bench  # repo-root module; the script dir is on sys.path
+
     builder = (
         SparkSession.builder.appName("wads_scalebench")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
+    for k, v in bench.SCAN_SPLIT_CONF.items():  # shared with plain mode
+        builder = builder.config(k, v)
     if not SparkConf().contains("spark.sql.shuffle.partitions"):
         builder = builder.config("spark.sql.shuffle.partitions", "16")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect()  # JVM warmup
-
-    # python-worker spawn + kernel imports paid before the timed region
-    def _warm(batches):
-        from web_archive_downloader_spark.content import extract  # noqa: F401
-
-        for pdf in batches:
-            yield pdf
-
-    cores = spark.sparkContext.defaultParallelism
-    (
-        spark.range(cores * 8)
-        .repartition(cores * 8)
-        .mapInPandas(_warm, "id long")
-        .write.format("noop").mode("overwrite").save()
-    )
-    import bench  # repo-root module; the script dir is on sys.path
+    bench.warm_compute_session(spark)  # identical warmup in both modes
 
     res = bench.run_compute_batch(spark, pages_path)
-    res["cpus"] = cores
+    res["cpus"] = spark.sparkContext.defaultParallelism
     print(json.dumps(res))
     spark.stop()
 

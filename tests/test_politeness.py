@@ -154,3 +154,27 @@ def test_fetch_colocate_hosts_strict_mode(spark, tmp_path):
         r.url for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
     ]
     assert got == run_oracle(raw, cfg).crawl_order
+
+
+def test_live_pacing_wiring_preserves_order(spark, tmp_path):
+    """live_pacing=True threads a pacer bound to (epoch wall-clock
+    start, cfg.request_delay_seconds) into the fetch stage. With
+    delay=0 the floor is a no-op, so the wiring is exercised without
+    wall-clock sleeps — crawl order must be unchanged."""
+    from web_archive_downloader_spark.datagen import default_config, gen_cdx_records
+    from web_archive_downloader_spark.oracle.simulator import run_oracle
+    from web_archive_downloader_spark.plans.crawl import PROCESSED_SCHEMA, CrawlPlan
+    from web_archive_downloader_spark.sources.cdx import cdx_dataframe
+    from web_archive_downloader_spark.sources.state import StateStore
+
+    raw = gen_cdx_records(n_urls=15, seed=41)
+    cfg = default_config(
+        epoch_seconds=60.0, max_retries=2, live_pacing=True,
+        request_delay_seconds=0.0,
+    )
+    store = StateStore(str(tmp_path / "lp"), spark)
+    CrawlPlan(spark, store, cfg).run(cdx_dataframe(spark, raw))
+    got = [
+        r.url for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
+    ]
+    assert got == run_oracle(raw, cfg).crawl_order

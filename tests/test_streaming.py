@@ -247,3 +247,49 @@ def test_stream_exact_dedup(spark, tmp_path):
     q2 = stream_exact_dedup(spark, in_dir + "/*", out_dir, ckpt, watermark="1 hour")
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 3
+
+
+def test_ingest_rejects_null_or_oversized_feed_seq(spark, tmp_path):
+    """Null/out-of-range feed seqs would produce null frontier seqs
+    (nondeterministic crawl order) — the drain refuses loudly."""
+    import pytest
+
+    from web_archive_downloader_spark.config import EngineConfig
+    from web_archive_downloader_spark.plans.crawl import CrawlPlan
+    from web_archive_downloader_spark.sources.state import StateStore
+
+    inbox = str(tmp_path / "inbox")
+    rows = [
+        ("https://ex.com/ok", "20230101000000", "ex.com", 0, 0.0, None, 1, 0),
+    ]
+    schema = (
+        "url string, ts string, host string, depth int, priority double,"
+        " seq long, attempt int, eligible_epoch int"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(inbox + "/batch=0")
+    store = StateStore(str(tmp_path / "st"), spark)
+    plan = CrawlPlan(spark, store, EngineConfig())
+    with pytest.raises(ValueError, match="null/out-of-range seq"):
+        plan.ingest_inbox(inbox)
+
+
+def test_ingest_refuses_deep_expansion(spark, tmp_path):
+    """Ingested seqs live at 2^45; depth-2 expansion children of such
+    parents would wrap int64 seq packing — the combination is refused."""
+    import pytest
+
+    from web_archive_downloader_spark.datagen import default_config
+    from web_archive_downloader_spark.plans.crawl import CrawlPlan
+    from web_archive_downloader_spark.sources.state import StateStore
+
+    inbox = str(tmp_path / "inbox")
+    rows = [("https://ex.com/a", "20230101000000", "ex.com", 0, 0.0, 0, 1, 0)]
+    schema = (
+        "url string, ts string, host string, depth int, priority double,"
+        " seq long, attempt int, eligible_epoch int"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(inbox + "/batch=0")
+    cfg = default_config(expand_links=True, max_depth=2)
+    store = StateStore(str(tmp_path / "st2"), spark)
+    with pytest.raises(ValueError, match="max_depth <= 1"):
+        CrawlPlan(spark, store, cfg).ingest_inbox(inbox)

@@ -96,6 +96,14 @@ class EngineConfig:
     # Cap on <a href> links taken per page during expansion (canonical
     # sorted order, so the cap is deterministic).
     max_links_per_page: int = 64
+    # Live pacing: when True the fetch stage sleeps each request to
+    # max(its pace slot, partition's last same-host fire +
+    # request_delay_seconds) via fetch_shim.politeness_pacer — the
+    # production politeness mode. Off in the sandbox/oracle runs: the
+    # shim has no live server and wall-clock sleeps would distort
+    # byte-equality benchmarks. The wiring (slot + host threading into
+    # the pacer) is identical either way and is what tests exercise.
+    live_pacing: bool = False
     # Fetch-stage partitioning: False (default) scatters by url hash —
     # full parallelism, politeness enforced by the pace-slot calendar
     # (spacing guaranteed when tasks launch on schedule; a straggler

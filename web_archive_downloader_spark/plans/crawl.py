@@ -325,7 +325,17 @@ class CrawlPlan:
         # per-host floor then bounds spacing globally); default scatter
         # keeps single-domain crawls parallel — see config.py
         fetch_key = F.col("host") if cfg.fetch_colocate_hosts else F.col("url")
-        fetched = fetch_stage(sched.repartition(par, fetch_key)).cache()
+        pacer = None
+        if cfg.live_pacing:
+            # bound to wall-clock epoch start (cross-machine comparable,
+            # unlike monotonic) and the CONFIGURED per-host delay — the
+            # closure ships to each task with its own last-fire state
+            from ..sources.fetch_shim import politeness_pacer
+
+            pacer = politeness_pacer(
+                time.time(), cfg.request_delay_seconds, now=time.time
+            )
+        fetched = fetch_stage(sched.repartition(par, fetch_key), pacer=pacer).cache()
         routed = (
             fetched.withColumn(
                 "route", route_col(F.col("outcome"), F.col("attempt"), cfg.max_retries)
@@ -796,18 +806,33 @@ class CrawlPlan:
             return 0
         if new[-1] >= (1 << 19):
             raise ValueError("inbox batch id exceeds seq-packing headroom (2^19)")
-        cand = None
-        for b in new:
-            df = self.spark.read.parquet(f"{inbox_dir}/batch={b}").withColumn(
-                "__b", F.lit(b)
+        # Ingested seqs live at >= 2^45; a depth-1 expansion child of an
+        # ingested parent packs to ~2^57 (fits), but a depth-2 child
+        # would wrap int64 — refuse the combination loudly rather than
+        # corrupt crawl order (same class of guard as config max_depth).
+        if self.config.expand_links and self.config.max_depth > 1:
+            raise ValueError(
+                "continuous ingestion supports expand_links only with "
+                "max_depth <= 1 (seq packing headroom for ingested parents)"
             )
-            cand = df if cand is None else cand.unionByName(df)
-        # composite pre-seq: drained-set order = (batch, feed seq)
-        if cand.filter(F.col("seq") >= (1 << 25)).count():
-            raise ValueError("feed seq exceeds seq-packing headroom (2^25)")
+        # ONE scan: partition discovery exposes `batch` from the dir
+        # layout; the isin prunes un-drained (incl. in-flight) batch
+        # dirs at planning time, so their partial files are never read
+        cand = self.spark.read.parquet(inbox_dir).filter(F.col("batch").isin(new))
+        # composite pre-seq: drained-set order = (batch, feed seq).
+        # Null seqs would propagate a null frontier seq (order
+        # nondeterminism) — refuse loudly with the headroom check.
+        bad = cand.filter(
+            F.col("seq").isNull() | (F.col("seq") >= (1 << 25)) | (F.col("seq") < 0)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{bad} feed rows have null/out-of-range seq "
+                "(need 0 <= seq < 2^25 for ingest packing)"
+            )
         pre = cand.select(
             "url", "ts",
-            (F.col("__b") * F.lit(1 << 25) + F.col("seq")).alias("seq"),
+            (F.col("batch").cast("long") * F.lit(1 << 25) + F.col("seq")).alias("seq"),
         )
         latest = latest_snapshot_per_url(pre)
         frontier = store.read_latest_only("frontier", FRONTIER_SCHEMA)

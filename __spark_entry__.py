@@ -400,12 +400,16 @@ def _q_volume_shipping(spark, sf):
     """Q7-style: revenue flow between supplier-nation and
     customer-nation pairs per ship year, for two chosen nations. Two
     broadcast dim joins (nation twice under different roles), big-side
-    joins on the fact keys, partial+final agg."""
+    joins on the fact keys, partial+final agg. The nation dims are
+    filtered to the two chosen nations BEFORE the joins (each inner
+    broadcast join then drops ~23/25 of its fact rows at the join, a
+    ~25x smaller join output at TPC-H selectivity); the residual pair
+    filter above the joins only removes the two same-nation combos."""
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     s = _t(spark, sf, "supplier")
-    n = _t(spark, sf, "nation")
+    n = _t(spark, sf, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
     n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | (
@@ -461,6 +465,55 @@ def _q_cube_revenue(spark, sf):
 
 def _q_ann_bruteforce(spark, sf):
     return brute_force_topk(_t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _q_ann_lsh_topk(spark, sf):
+    """The SCALE ANN path as a CHECKED query: multi-table sign-LSH
+    with 1-bit multiprobe (operators/ann.py:lsh_bucketed_topk). The
+    DuckDB twin replays the same literal hyperplanes (the
+    literal-plane technique from the neardup twin), so the candidate
+    sets — and hence the approximate top-k — are identical, not just
+    recall-gated."""
+    from web_archive_downloader_spark.operators.ann import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        _t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10
+    )
+
+
+def _phash_input(spark, sf):
+    """Deterministic surrogate image relation for the phash near-dup
+    CHECKED query: testdata has no image table, so (image_id, phash)
+    derive from documents — groups of 10 docs share a 56-bit md5 base
+    hash; members differ from the base in <= 2 controlled bit
+    positions (so within-group pairs sit at hamming <= 4, across
+    groups ~28 random bits apart). The operator under test
+    (operators/images.py:phash_near_dups) is the real engine path;
+    only the input is synthesized, mirrored exactly in SQL."""
+    from web_archive_downloader_spark.functions.textstats import md5_hash56_col
+
+    d = _t(spark, sf, "documents")
+    g = F.floor(F.col("doc_id") / 10).cast("long")
+    # shiftleft with a COLUMN bit count needs the SQL form (the
+    # DataFrame helper only takes a literal numBits)
+    pert = F.expr(
+        "CASE WHEN doc_id % 10 = 0 THEN 0L"
+        " ELSE shiftleft(1L, cast(doc_id % 10 - 1 AS int))"
+        "    + shiftleft(1L, cast(doc_id % 10 + 20 AS int)) END"
+    )
+    return d.select(
+        F.col("doc_id").alias("image_id"),
+        md5_hash56_col(g.cast("string")).bitwiseXOR(pert).alias("phash"),
+    )
+
+
+def _q_phash_pairs(spark, sf):
+    """Image near-dup by perceptual-hash hamming distance, pigeonhole-
+    blocked (7 chunks over the 56-bit surrogate phash; max_hamming=6
+    <= chunks-1 preserves the no-miss guarantee)."""
+    from web_archive_downloader_spark.operators.images import phash_near_dups
+
+    return phash_near_dups(_phash_input(spark, sf), max_hamming=6, chunks=7)
 
 
 def _q_text_stats(spark, sf):
@@ -654,8 +707,12 @@ def _q_windowed_rates(spark, sf):
 
 def _q_embedding_neardup_lsh(spark, sf):
     """The CHECKED near-dup path is the sign-LSH-blocked one (no
-    cartesian); the exact O(n^2) variant survives only as a recall
-    reference in tests/test_dedup_ann.py."""
+    cartesian) at CORPUS-SIZED geometry: n_planes=None auto-sizes the
+    plane count from one count() via neardup_planes_for, and the
+    DuckDB twin derives the same count from count(*) in SQL — the
+    checked entry runs the geometry you'd run at scale. The exact
+    O(n^2) variant survives only as a recall reference in
+    tests/test_dedup_ann.py."""
     from web_archive_downloader_spark.operators.dedup import embedding_neardup_lsh
 
     return embedding_neardup_lsh(_t(spark, sf, "embeddings"), threshold=0.45)
@@ -804,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "dedup_components": _q_dedup_components,
         "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "phash_pairs": _q_phash_pairs,
         "text_stats": _q_text_stats,
         "stratified_sample": _q_stratified_sample,
         "page_dir": _q_page_dir,
@@ -896,26 +955,44 @@ cands AS (
 _TOKSET = "list_distinct(list_filter(string_split_regex(trim({t}), '\\s+'), x -> length(x) > 0))"
 
 
-def _neardup_lsh_sql(threshold: float = 0.45) -> str:
+def _neardup_lsh_sql(threshold: float = 0.45, target_bucket_rows: int = 4096) -> str:
     """DuckDB twin of embedding_neardup_lsh: the SAME seeded
     hyperplanes as literal DOUBLE[] rows; the dot-product fold is
     list_reduce over list_transform in index order — identical
     left-to-right double arithmetic to Spark's F.aggregate(zip_with),
     so bucket signs match bit-for-bit and the candidate sets are
-    identical."""
+    identical.
+
+    CORPUS-SIZED GEOMETRY: the plane count is not pinned — the SQL
+    derives it from count(*) with the same formula as
+    dedup.neardup_planes_for (clamp [5, 24]); planes are generated as
+    literals out to the clamp max (prefix-stable: the first k rows of
+    a seeded 24-plane draw equal a k-plane draw) and rows beyond the
+    derived count are filtered before the dot products."""
     from web_archive_downloader_spark.operators.dedup import (
         NEARDUP_DIM,
+        NEARDUP_PLANES,
         neardup_hyperplanes,
     )
 
+    MAX_PLANES = 24
     rows = []
-    for t, planes in enumerate(neardup_hyperplanes()):
+    for t, planes in enumerate(
+        neardup_hyperplanes(n_planes=MAX_PLANES)
+    ):
         for p, plane in enumerate(planes):
             vals = ", ".join(repr(x) for x in plane)
             rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
     values = ",\n".join(rows)
+    tbr = target_bucket_rows
     return f"""
-        WITH planes(tbl, pl, w) AS (VALUES {values}),
+        WITH np AS (
+          SELECT CASE WHEN count(*) <= {tbr} THEN {NEARDUP_PLANES}
+                 ELSE GREATEST({NEARDUP_PLANES}, LEAST({MAX_PLANES},
+                      CAST(ceil(log2(count(*) / {tbr}.0)) AS INT))) END AS k
+          FROM embeddings
+        ),
+        planes(tbl, pl, w) AS (VALUES {values}),
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         dots AS (
           SELECT e.vec_id, p.tbl, p.pl,
@@ -924,6 +1001,7 @@ def _neardup_lsh_sql(threshold: float = 0.45) -> str:
                      list_transform(range(1, {NEARDUP_DIM + 1}), i -> e.v[i] * p.w[i])),
                    (a, b) -> a + b) AS dot
           FROM e CROSS JOIN planes p
+          WHERE p.pl < (SELECT k FROM np)
         ),
         buckets AS (
           SELECT vec_id, tbl,
@@ -941,6 +1019,98 @@ def _neardup_lsh_sql(threshold: float = 0.45) -> str:
         JOIN e a ON a.vec_id = vec_a
         JOIN e b ON b.vec_id = vec_b
         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}
+    """
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 4, n_tables: int = 8) -> str:
+    """DuckDB twin of lsh_bucketed_topk: literal hyperplanes (same
+    seeds, prefix-stable with the neardup set), identical left-to-right
+    dot fold, 1-bit multiprobe expansion, candidate equi-join on
+    (table, bucket), exact cosine + per-query rank — the same
+    approximate result set, not merely recall-agreement."""
+    from web_archive_downloader_spark.operators.ann import _hyperplanes
+    from web_archive_downloader_spark.operators.dedup import NEARDUP_DIM
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(_hyperplanes(NEARDUP_DIM, n_planes, seed=42 + 1000 * t)):
+            vals = ", ".join(repr(x) for x in plane)
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    probe_bits = ", ".join(["-1"] + [str(i) for i in range(n_planes)])
+    return f"""
+        WITH planes(tbl, pl, w) AS (VALUES {values}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, p.tbl, p.pl,
+                 list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                     list_transform(range(1, {NEARDUP_DIM + 1}), i -> e.v[i] * p.w[i])),
+                   (a, b) -> a + b) AS dot
+          FROM e CROSS JOIN planes p
+        ),
+        buckets AS (
+          SELECT vec_id, tbl,
+                 sum(CASE WHEN dot > 0 THEN (1::BIGINT << pl) ELSE 0 END)::BIGINT AS b
+          FROM dots GROUP BY vec_id, tbl
+        ),
+        probes AS (
+          SELECT q.vec_id AS query_id, q.tbl AS qtbl,
+                 CASE WHEN pb.pb = -1 THEN q.b
+                      ELSE xor(q.b, (1::BIGINT << pb.pb)) END AS qb
+          FROM buckets q CROSS JOIN (SELECT unnest([{probe_bits}]) AS pb) pb
+          WHERE q.vec_id IN ({qids})
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+          FROM buckets c JOIN probes p
+            ON c.tbl = p.qtbl AND c.b = p.qb AND c.vec_id != p.query_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+          FROM cand
+          JOIN e qe ON qe.vec_id = cand.query_id
+          JOIN e ne ON ne.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, rn AS rank, neighbor_id, cos
+        FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rn
+          FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+def _phash_pairs_sql(max_hamming: int = 6, chunks: int = 7) -> str:
+    """DuckDB twin of phash_near_dups over the same surrogate phash
+    input (_phash_input): md5-56 group base xor controlled
+    perturbation, explode chunk keys, equi-join, xor + bit_count."""
+    width = 64 // chunks
+    h56 = _H56.format(x="CAST(CAST(floor(doc_id / 10) AS BIGINT) AS VARCHAR)")
+    return f"""
+        WITH imgs AS (
+          SELECT doc_id AS image_id,
+                 xor({h56},
+                     CASE WHEN doc_id % 10 = 0 THEN 0::BIGINT
+                          ELSE (1::BIGINT << CAST(doc_id % 10 - 1 AS INT))
+                             + (1::BIGINT << CAST(doc_id % 10 + 20 AS INT)) END
+                 ) AS phash
+          FROM documents
+        ),
+        keyed AS (
+          SELECT image_id, phash, c.chunk,
+                 (phash >> (c.chunk * {width})) & {(1 << width) - 1} AS key
+          FROM imgs CROSS JOIN (SELECT unnest(range({chunks})) AS chunk) c
+        )
+        SELECT DISTINCT l.image_id AS img_a, r.image_id AS img_b,
+               bit_count(xor(l.phash, r.phash)) AS hamming
+        FROM keyed l JOIN keyed r
+          ON l.chunk = r.chunk AND l.key = r.key AND l.image_id < r.image_id
+        WHERE bit_count(xor(l.phash, r.phash)) <= {max_hamming}
     """
 
 
@@ -1224,6 +1394,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
             ) WHERE rn <= 10
         """,
+        "ann_lsh_topk": _ann_lsh_sql(k=10),
+        "phash_pairs": _phash_pairs_sql(max_hamming=6, chunks=7),
         "page_dir": """
             SELECT doc_id, 'output/' || source || '/sub_dir' AS dir
             FROM documents

@@ -228,6 +228,38 @@ def test_embedding_neardup_lsh_vs_exact(emb, spark):
         assert exact.get(pair) == cos  # blocked pairs are a subset with exact cosines
 
 
+def test_neardup_corpus_sized_geometry_parity(emb, spark):
+    """The corpus-sized plane count must agree between the engine and
+    the DuckDB twin AT A NON-DEFAULT GEOMETRY: target_bucket_rows=8
+    forces n_planes=6 for the 500-row corpus (the default checked run
+    uses 5 at this n), so this exercises the variable-geometry path
+    both sides — identical pair sets and cosines."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from web_archive_downloader_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        neardup_planes_for,
+    )
+
+    n = emb.count()
+    assert neardup_planes_for(n, target_bucket_rows=8) == 6  # non-default
+    got = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in embedding_neardup_lsh(
+            emb, threshold=0.45, target_bucket_rows=8
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    sql = entry_mod._neardup_lsh_sql(0.45, target_bucket_rows=8)
+    exp = {
+        (int(a), int(b)): round(float(c), 4)
+        for a, b, c in con.execute(sql).fetchall()
+    }
+    assert got == exp
+
+
 def test_local_topk_reduce_bounds_and_exactness(emb, spark):
     """local_topk_reduce: each partition emits <= k rows per query,
     the union contains the global top-k, and brute_force_topk built on

@@ -36,6 +36,29 @@ def _snapshot(store, docs, assets):
     return order, seen, doc_rows, asset_rows
 
 
+def test_stage_packed_rejects_schema_drift(spark, tmp_path):
+    """stage_packed must refuse a member df whose columns do not
+    exactly match the registry — silently null-filling a missing
+    member column would mask schema drift as all-null state rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    store = StateStore(str(tmp_path / "st"), spark)
+    good = spark.createDataFrame(
+        [("https://e.com/a", 1, 0)], "url string, seq long, epoch int"
+    )
+    store.stage_packed(0, {"url_seen": good})
+
+    # missing column (renamed seq -> sequence)
+    with pytest.raises(ValueError, match="url_seen.*missing.*seq"):
+        store.stage_packed(
+            1, {"url_seen": good.withColumnRenamed("seq", "sequence")}
+        )
+    # unexpected extra column
+    with pytest.raises(ValueError, match="unexpected.*extra"):
+        store.stage_packed(1, {"url_seen": good.withColumn("extra", F.lit(1))})
+
+
 def test_kill_and_resume_identical(spark, tmp_path):
     raw = gen_cdx_records(n_urls=N, seed=11)
     cfg = default_config(epoch_seconds=20.0, max_retries=2)  # small budget -> several epochs

@@ -99,6 +99,34 @@ def test_unknown_sketch_version_disables_bloom(spark):
         BloomSketch.from_bytes(legacy_blob)
 
 
+def test_changed_seen_partitions_disables_bloom(spark):
+    """Sketches persist pid = pmod(xxhash64(url), P) at BUILD time; a
+    resume with a different seen_partitions would probe the wrong
+    pids' sketches — false negatives — so the build-time P is stamped
+    per row and a mismatch routes everything to the exact anti-join,
+    same as the bad-version fallback."""
+    seen = _seen_df(spark, 0, 500)
+    frontier = _urls_df(spark, 0, 1000)
+    sketch_df = build_bloom_sketches(seen, 8, 256).localCheckpoint()
+
+    # same P as build: bloom engages
+    _, mode_same = unseen_with_bloom_state(frontier, seen, sketch_df, 8, spark)
+    assert mode_same == "broadcast"
+
+    # changed P (8 -> 4): exact-only, output still exactly-unseen
+    out, mode = unseen_with_bloom_state(frontier, seen, sketch_df, 4, spark)
+    assert mode == "exact"
+    assert sorted(r.url for r in out.collect()) == sorted(
+        f"https://e.com/p{i}" for i in range(500, 1000)
+    )
+
+    # a pre-stamping sketch table (no n_partitions column at all) is
+    # equally untrustworthy -> exact
+    legacy = sketch_df.select("partition_id", "sketch", "version")
+    _, mode_legacy = unseen_with_bloom_state(frontier, seen, legacy, 8, spark)
+    assert mode_legacy == "exact"
+
+
 def test_saturated_sketch_bounds_bytes_and_stays_exact(spark):
     """Per-sketch capacity cap: a pid whose rows would need more than
     max_bits saturates — every blob stays <= 32 + max_bits/8 bytes and
@@ -137,8 +165,8 @@ def test_bucketized_crawl_matches_oracle_and_resumes(spark, tmp_path):
     plan.run(cdx_dataframe(spark, raw), max_epochs=3)
     manifest = store.read_manifest()
     assert "url_seen" in manifest.get("bucketed", {})
-    base, delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
-    assert base is not None
+    bases, delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+    assert bases
     floor = manifest["compaction_floor"]["url_seen"]
     with pytest.raises(ValueError, match="compacted"):
         store.truncate_to_epoch(floor - 1)
@@ -174,7 +202,7 @@ def test_bucketized_base_joins_without_big_side_shuffle(spark, tmp_path):
     path = store.stage("url_seen", 0, _seen_df(spark, 0, 4000).repartition(4))
     store.commit(0, {"url_seen": path})
     store.bucketize("url_seen", buckets=8)
-    base, _ = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+    [base], _ = store.read_parts("url_seen", URL_SEEN_SCHEMA)
     frontier = _urls_df(spark, 3000, 5000)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
@@ -189,6 +217,87 @@ def test_bucketized_base_joins_without_big_side_shuffle(spark, tmp_path):
         plan = buf.getvalue()
         assert "Bucketed: true" in plan
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        store.destroy()
+
+
+def test_incremental_bucketize_writes_only_deltas(spark, tmp_path):
+    """Each bucketize call after the first writes O(delta) rows into a
+    NEW generation table — never a rewrite of the full base (the
+    write-amplification killer at a 10^10-row seen set). The chain
+    merges into one table only when it exceeds merge_at."""
+    store = StateStore(str(tmp_path / "ib"), spark)
+    store.commit(0, {"url_seen": store.stage("url_seen", 0, _seen_df(spark, 0, 1000))})
+    n1 = store.bucketize("url_seen", buckets=4)
+    assert spark.table(n1).count() == 1000
+
+    store.commit(1, {"url_seen": store.stage("url_seen", 1, _seen_df(spark, 1000, 1100))})
+    n2 = store.bucketize("url_seen", buckets=4)
+    # the second generation's table holds ONLY the 100 delta rows
+    assert spark.table(n2).count() == 100
+    gens = store.read_manifest()["bucketed"]["url_seen"]
+    assert [g["name"] for g in gens] == [n1, n2]
+    # full-relation read still sees every row exactly once
+    assert store.read("url_seen", URL_SEEN_SCHEMA).count() == 1100
+    # chained anti-join across generations is still exact
+    bases, delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+    assert len(bases) == 2
+    out = anti_join_unseen(_urls_df(spark, 1050, 1200), bases + [delta])
+    assert sorted(r.url for r in out.collect()) == sorted(
+        f"https://e.com/p{i}" for i in range(1100, 1200)
+    )
+
+    # nothing new -> no-op, returns newest generation
+    assert store.bucketize("url_seen", buckets=4) == n2
+
+    # chain bound: merge_at=2 folds everything into ONE table
+    store.commit(2, {"url_seen": store.stage("url_seen", 2, _seen_df(spark, 1100, 1150))})
+    n3 = store.bucketize("url_seen", buckets=4, merge_at=2)
+    gens = store.read_manifest()["bucketed"]["url_seen"]
+    assert len(gens) == 1 and gens[0]["name"] == n3
+    assert spark.table(n3).count() == 1150
+    assert store.read("url_seen", URL_SEEN_SCHEMA).count() == 1150
+    store.destroy()
+
+
+def test_generation_chain_anti_join_single_exchange(spark, tmp_path):
+    """With TWO bucketed generations, the chained anti-join keeps both
+    bucketed scans Exchange-free and reuses the probe side's first
+    shuffle: exactly one Exchange in the whole chain."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    store = StateStore(str(tmp_path / "gc"), spark)
+    store.commit(0, {"url_seen": store.stage("url_seen", 0, _seen_df(spark, 0, 3000))})
+    store.bucketize("url_seen", buckets=8)
+    store.commit(1, {"url_seen": store.stage("url_seen", 1, _seen_df(spark, 3000, 4000))})
+    store.bucketize("url_seen", buckets=8)
+    bases, delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+    assert len(bases) == 2
+    frontier = _urls_df(spark, 2000, 5000)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = anti_join_unseen(frontier, bases + [delta])
+        assert sorted(r.url for r in out.collect()) == sorted(
+            f"https://e.com/p{i}" for i in range(4000, 5000)
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # AQE prints final + initial plans; judge the EXECUTED one
+        final = plan.split("== Initial Plan ==")[0]
+        assert sum("Exchange" in l for l in final.splitlines()) == 1
+        scan_ids = re.findall(r"Scan parquet \S*url_seen\S* \((\d+)\)", final)
+        assert len(scan_ids) == 2  # both generations scanned in-plan
+        for sid in scan_ids:
+            block = re.search(
+                rf"\({sid}\) Scan parquet.*?(?=\n\(\d+\)|\Z)", plan, re.S
+            ).group(0)
+            assert "Bucketed: true" in block
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         store.destroy()
@@ -210,10 +319,10 @@ def test_legacy_bloom_dirs_read_with_null_version(spark, tmp_path):
     plan = CrawlPlan(spark, store, EngineConfig())
     sketch_df = store.read("bloom", plan._bloom_schema())
     assert {f.name for f in sketch_df.schema.fields} == {
-        "partition_id", "sketch", "version"
+        "partition_id", "sketch", "version", "n_partitions"
     }
     rows = sketch_df.collect()
-    assert rows and rows[0].version is None
+    assert rows and rows[0].version is None and rows[0].n_partitions is None
     out, mode = unseen_with_bloom_state(
         _urls_df(spark, 0, 50), _seen_df(spark, 0, 20), sketch_df, 8, spark
     )
@@ -235,7 +344,7 @@ def test_full_j1_chain_plan_shape(spark, tmp_path):
     seen = _seen_df(spark, 0, 4000)
     store.commit(0, {"url_seen": store.stage("url_seen", 0, seen)})
     store.bucketize("url_seen", buckets=8)
-    base, delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+    [base], delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
     frontier = _urls_df(spark, 3000, 6000)
     sketches = build_bloom_sketches(seen, 8, 256).localCheckpoint()
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -34,8 +34,17 @@ _STRIP_N = re.compile(r"-\d+$")
 
 def _assign_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Greedy replay of the reference's exists-probe loop for one
-    (dir, stripped_base, ext) group, ordered by save_seq."""
-    pdf = pdf.sort_values("save_seq").reset_index(drop=True)
+    (dir, stripped_base, ext) group, ordered by (save_seq, save_pos).
+
+    The order key is TWO columns, not a packed ``seq*2^k + pos``
+    product: frontier seqs use high bits as namespaces (link
+    expansions >= 2^50, ingested feeds >= 2^45), so any packed
+    product overflows int64 and silently aliases save orders across
+    namespaces. A lexicographic two-column sort has no headroom
+    limit. ``save_pos`` is optional (single-key callers like the
+    html pass omit it)."""
+    keys = ["save_seq"] + (["save_pos"] if "save_pos" in pdf.columns else [])
+    pdf = pdf.sort_values(keys).reset_index(drop=True)
     taken: set[str] = set()
     names: list[str | None] = []
     for _, row in pdf.iterrows():
@@ -65,9 +74,10 @@ def _assign_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def assign_collision_names(saves: DataFrame) -> DataFrame:
     """Input columns: dir, base, ext ('.md'/'.html'/asset ext), style
-    ('page'|'asset'), save_seq (global deterministic save order), plus
-    passthrough columns. Output: same rows + ``filename`` (null =>
-    collision-limit save_fail).
+    ('page'|'asset'), save_seq (global deterministic save order) and
+    optionally save_pos (within-page tiebreak; see _assign_group),
+    plus passthrough columns. Output: same rows + ``filename`` (null
+    => collision-limit save_fail).
 
     One shuffle on the group key; group sizes are tiny (bounded by the
     number of same-named files in one directory), so skew is not a

@@ -441,7 +441,10 @@ def neardup_planes_for(n_rows: int, target_bucket_rows: int = 4096) -> int:
     """Corpus-sized hyperplane count: enough sign bits that expected
     bucket occupancy n/2^planes stays ~target_bucket_rows, keeping the
     within-bucket pair blowup bounded as the corpus scales (see the
-    sizing caveat on embedding_neardup_lsh). Clamped to [5, 24]."""
+    geometry note on embedding_neardup_lsh). Clamped to [5, 24]; the
+    max matches the literal-hyperplane horizon the DuckDB twin
+    generates (__spark_entry__._neardup_lsh_sql), which mirrors this
+    formula in SQL — keep the two in lockstep."""
     import math
 
     if n_rows <= target_bucket_rows:
@@ -465,8 +468,9 @@ def embedding_neardup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.45,
     n_tables: int = NEARDUP_TABLES,
-    n_planes: int = NEARDUP_PLANES,
+    n_planes: int | None = None,
     dim: int = NEARDUP_DIM,
+    target_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Embedding near-dup with sign-LSH-blocked candidate generation —
     the scale path (and the oracle-checked query).
@@ -485,17 +489,23 @@ def embedding_neardup_lsh(
     planted near-dups). Candidates that DO surface get the exact
     cosine, so precision is 1.0 vs the exact variant.
 
-    SIZING CAVEAT: 'never quadratic in the corpus' is a constant-factor
-    claim at fixed geometry — n_planes=5 gives 2^5=32 buckets per
-    table, so expected candidate pairs grow ~n^2/32 per table. For a
-    corpus of n vectors, size n_planes ~ log2(n / target_bucket_rows)
-    (e.g. n=10^9, 10^4 rows/bucket -> ~17 planes) so per-bucket
-    occupancy — and hence pair count per bucket — stays bounded as the
-    corpus grows. The CHECKED query pins n_planes=5 because the DuckDB
-    twin replays the same literal hyperplanes; production callers pass
-    corpus-sized n_planes (`neardup_planes_for(n)` below)."""
+    GEOMETRY IS CORPUS-SIZED BY DEFAULT: 'never quadratic in the
+    corpus' is a constant-factor claim at fixed geometry — k planes
+    give 2^k buckets per table, so expected candidate pairs grow
+    ~n^2/2^k per table. With ``n_planes=None`` (the default, and the
+    CHECKED query's mode) the plane count is ``neardup_planes_for(n)``
+    from one count() of the corpus: n_planes ~ log2(n /
+    target_bucket_rows) (e.g. n=10^9, ~4k rows/bucket -> ~18 planes),
+    so per-bucket occupancy — and hence pair count per bucket — stays
+    bounded as the corpus grows. The DuckDB oracle twin replays the
+    same literal hyperplanes up to the clamp max and derives the SAME
+    plane count from count(*) in SQL, so both sides agree at any
+    corpus size (pinned-vs-sized parity is tested at a forced
+    non-default geometry in tests/test_dedup_ann.py)."""
     from .ann import cosine_expr, sign_bucket_col
 
+    if n_planes is None:
+        n_planes = neardup_planes_for(embeddings.count(), target_bucket_rows)
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     tables = neardup_hyperplanes(dim, n_tables, n_planes)
     buckets = [

@@ -176,6 +176,13 @@ _SKETCH_SCHEMA = T.StructType(
         T.StructField("partition_id", T.IntegerType()),
         T.StructField("sketch", T.BinaryType()),
         T.StructField("version", T.IntegerType()),
+        # the partition count the sketch was BUILT with: pid =
+        # pmod(xxhash64(url), n_partitions) is baked into which rows
+        # each sketch covers, so probing with a different current P
+        # reads the wrong pids' sketches -> false negatives ->
+        # re-crawls. Stamped per row; a mismatch with the probe-time P
+        # routes everything to the exact anti-join (sketch_stats).
+        T.StructField("n_partitions", T.IntegerType()),
     ]
 )
 
@@ -211,6 +218,7 @@ def build_bloom_sketches(
                 "partition_id": [int(pdf["pid"].iloc[0])],
                 "sketch": [sk.to_bytes()],
                 "version": [BLOOM_VERSION],
+                "n_partitions": [n_partitions],
             }
         )
 
@@ -380,15 +388,27 @@ def unseen_with_bloom(
     return definitely_new.unionByName(survivors)
 
 
-def sketch_stats(sketch_df: DataFrame) -> dict:
+def sketch_stats(sketch_df: DataFrame, n_partitions: int | None = None) -> dict:
     """(n, nbytes, bad) over a sketch table — one tiny aggregate with
-    only length(sketch)/version projected (blobs never collected)."""
+    only length(sketch)/version/n_partitions projected (blobs never
+    collected). A row is ``bad`` if its probe-scheme version is
+    foreign OR (when the probe-time ``n_partitions`` is given) its
+    build-time partition count differs — either mismatch means a
+    probe could yield false negatives, so callers must route to the
+    exact anti-join."""
+    bad = F.col("version").isNull() | (F.col("version") != BLOOM_VERSION)
+    if n_partitions is not None:
+        if "n_partitions" in sketch_df.columns:
+            bad = bad | F.col("n_partitions").isNull() | (
+                F.col("n_partitions") != n_partitions
+            )
+        else:
+            # pre-stamping table: build-time P unknowable -> all bad
+            bad = F.lit(True)
     row = sketch_df.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.length("sketch")), F.lit(0)).alias("nbytes"),
-        F.count_if(
-            F.col("version").isNull() | (F.col("version") != BLOOM_VERSION)
-        ).alias("bad"),
+        F.count_if(bad).alias("bad"),
     ).first()
     return {"n": row["n"], "nbytes": row["nbytes"], "bad": row["bad"]}
 
@@ -406,9 +426,12 @@ def unseen_with_bloom_state(
     mode from the state itself and never lets Bloom memory scale with
     the seen set:
 
-    - sketch version invalid/unknown (cross-version resume) or no
-      sketches -> pure exact anti-join ("exact"): probing foreign
-      sketches could yield false negatives = re-crawls;
+    - sketch version invalid/unknown (cross-version resume), a
+      build-time partition count differing from the probe-time
+      ``n_partitions`` (a resume with changed seen_partitions would
+      probe the wrong pids' sketches), or no sketches -> pure exact
+      anti-join ("exact"): probing foreign sketches could yield false
+      negatives = re-crawls;
     - total sketch bytes <= broadcast_max_bytes -> driver collect +
       broadcast ("broadcast"): lowest latency while the state is small;
     - above the bound -> pid-pruned cogrouped probe ("cogroup"):
@@ -421,7 +444,7 @@ def unseen_with_bloom_state(
     that track the table incrementally pass ``stats`` (n, nbytes, bad)
     to skip the job (CrawlPlan caches them across epochs)."""
     if stats is None:
-        stats = sketch_stats(sketch_df)
+        stats = sketch_stats(sketch_df, n_partitions)
     if stats["n"] == 0 or stats["bad"] > 0:
         return anti_join_unseen(frontier, seen_parts), "exact"
     if stats["nbytes"] <= broadcast_max_bytes:

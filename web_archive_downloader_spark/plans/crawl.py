@@ -17,7 +17,7 @@ Crawl ORDER determinism under parallelism: nothing order-sensitive is
 derived from task/epoch completion order — every output keys off the
 first-appearance ``seq``. Filename collision suffixes (the one truly
 order-coupled output) are a deterministic function of the final
-successful set ordered by save_seq, so they are materialized by
+successful set ordered by (save_seq, save_pos), so they are materialized by
 ``finalize_outputs`` (idempotent, recomputable after resume) rather
 than during epochs; see operators/collisions.py.
 
@@ -141,11 +141,13 @@ PROCESSED_SCHEMA = T.StructType(
     ]
 )
 
-# save_seq packs (page seq, within-page position): md/html saves sort
-# after the page's assets, mirroring the reference's per-iteration
-# order assets -> html -> md (main.py:109-161).
-_POS_BITS = 20
-_MD_POS = (1 << _POS_BITS) - 1
+# Save order is the TWO-column key (save_seq=page seq, save_pos=
+# within-page position): md/html saves sort after the page's assets,
+# mirroring the reference's per-iteration order assets -> html -> md
+# (main.py:109-161). NOT a packed seq*2^k+pos product — expansion
+# seqs (>=2^50) and ingested-feed seqs (>=2^45) would overflow int64
+# in the product and alias save orders across seq namespaces.
+_MD_POS = (1 << 62)  # sorts after any asset position
 
 
 def seed_frontier_from_cdx(cdx: DataFrame, prefiltered_feed: bool = True) -> DataFrame:
@@ -212,14 +214,15 @@ class CrawlPlan:
         cfg = self.config
         store = self.store
         frontier = store.read_latest_only("frontier", FRONTIER_SCHEMA)
-        # J1 membership relation, read as (bucketed base, epoch deltas):
-        # once bucketize_seen_every_epochs has fired, the base scan is
-        # hash-bucketed by url and the anti-join against it is
-        # storage-partitioned — the big (seen) side never shuffles, only
-        # the frontier probe side does; the deltas are the few recent
-        # epochs' rows and broadcast/shuffle cheaply.
-        seen_base, seen_delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
-        seen_parts = ([seen_base] if seen_base is not None else []) + [seen_delta]
+        # J1 membership relation, read as (bucketed base generations,
+        # epoch deltas): once bucketize_seen_every_epochs has fired,
+        # each generation's scan is hash-bucketed by url and the
+        # anti-join against it is storage-partitioned — the big (seen)
+        # side never shuffles, only the frontier probe side does (once:
+        # subsequent generations reuse its clustering); the deltas are
+        # the few recent epochs' rows and broadcast/shuffle cheaply.
+        seen_bases, seen_delta = store.read_parts("url_seen", URL_SEEN_SCHEMA)
+        seen_parts = seen_bases + [seen_delta]
 
         eligible = frontier.filter(F.col("eligible_epoch") <= epoch)
         held = frontier.filter(F.col("eligible_epoch") > epoch)
@@ -605,7 +608,9 @@ class CrawlPlan:
         if self._bloom_stats is None:
             from ..operators.seen import sketch_stats
 
-            self._bloom_stats = sketch_stats(sketch_df)
+            self._bloom_stats = sketch_stats(
+                sketch_df, self.config.seen_partitions
+            )
         return self._bloom_stats
 
     def _advance_bloom_stats(self, n_new_rows: int) -> None:
@@ -643,6 +648,10 @@ class CrawlPlan:
                 # probe-scheme version; pre-versioning dirs read as null
                 # and disable Bloom routing (operators/seen.py)
                 T.StructField("version", T.IntegerType()),
+                # build-time partition count; a resume with changed
+                # seen_partitions reads a mismatch and falls back to
+                # the exact anti-join (no wrong-pid probes)
+                T.StructField("n_partitions", T.IntegerType()),
             ]
         )
 
@@ -821,18 +830,33 @@ class CrawlPlan:
         cand = self.spark.read.parquet(inbox_dir).filter(F.col("batch").isin(new))
         # composite pre-seq: drained-set order = (batch, feed seq).
         # Null seqs would propagate a null frontier seq (order
-        # nondeterminism) — refuse loudly with the headroom check.
-        bad = cand.filter(
-            F.col("seq").isNull() | (F.col("seq") >= (1 << 25)) | (F.col("seq") < 0)
-        ).count()
-        if bad:
-            raise ValueError(
-                f"{bad} feed rows have null/out-of-range seq "
-                "(need 0 <= seq < 2^25 for ingest packing)"
-            )
+        # nondeterminism) — refuse loudly. The null/range guard rides
+        # the seq projection itself (assert_true inside a coalesce:
+        # the assert yields null on pass, so coalesce selects the
+        # packed seq) — ONE scan per drain, not a separate count()
+        # job over the feed batches before the real drain. The raise
+        # fires inside the staged write's job, before any commit.
+        _seq_ok = (
+            F.col("seq").isNotNull()
+            & (F.col("seq") >= 0)
+            & (F.col("seq") < (1 << 25))
+        )
+        _guard = F.assert_true(
+            _seq_ok,
+            F.concat(
+                F.lit(
+                    "feed row has null/out-of-range seq (need 0 <= seq "
+                    "< 2^25 for ingest packing): url="
+                ),
+                F.coalesce(F.col("url"), F.lit("<null>")),
+            ),
+        )
         pre = cand.select(
             "url", "ts",
-            (F.col("batch").cast("long") * F.lit(1 << 25) + F.col("seq")).alias("seq"),
+            F.coalesce(
+                _guard.cast("long"),
+                F.col("batch").cast("long") * F.lit(1 << 25) + F.col("seq"),
+            ).alias("seq"),
         )
         latest = latest_snapshot_per_url(pre)
         frontier = store.read_latest_only("frontier", FRONTIER_SCHEMA)
@@ -850,7 +874,18 @@ class CrawlPlan:
 
         obs = Observation(f"ingest_{new[-1]}")
         merged = frontier.unionByName(fresh.observe(obs, F.count(F.lit(1)).alias("n")))
-        path = store.stage("frontier", self._INGEST_EPOCH_BASE + new[-1], merged)
+        try:
+            path = store.stage("frontier", self._INGEST_EPOCH_BASE + new[-1], merged)
+        except Exception as e:
+            # surface the in-plan seq guard as the documented contract
+            # error; the failed job staged at most an orphan dir —
+            # nothing was committed, the drain is re-runnable
+            if "null/out-of-range seq" in str(e):
+                raise ValueError(
+                    "feed rows have null/out-of-range seq "
+                    "(need 0 <= seq < 2^25 for ingest packing)"
+                ) from e
+            raise
         store.append_frontier_ingest(path, new)
         return int(obs.get["n"])
 
@@ -875,8 +910,18 @@ class CrawlPlan:
             manifest["tables"].setdefault("frontier", []).append(path)
             store._write_manifest(manifest)
         pending = store.read_latest_only("frontier", FRONTIER_SCHEMA).count()
-        compact_every = self.config.compact_every_epochs
-        bucketize_every = self.config.bucketize_seen_every_epochs
+        cfg = self.config
+        compact_every = cfg.compact_every_epochs
+        bucketize_every = cfg.bucketize_seen_every_epochs
+        # AUTO scale posture (the at-scale default, config=None): the
+        # thresholds are derived from driver-side state already in
+        # hand — rows scheduled since the last bucketize, and the
+        # manifest's epoch-dir counts — so a default-config long crawl
+        # bucketizes/compacts itself instead of degrading into an
+        # unbucketed O(seen) anti-join + unbounded dir listings, while
+        # short test crawls (which need rollback, foreclosed by the
+        # merge floor) never trigger either.
+        rows_since_bucketize = 0
         for epoch in range(start_epoch, max_epochs):
             if inbox_dir:
                 # continuous ingestion: drain streaming feed batches
@@ -887,16 +932,42 @@ class CrawlPlan:
             n, pending = self.run_epoch(epoch)
             stats.epochs += 1
             stats.scheduled += n
-            if bucketize_every and (epoch + 1) % bucketize_every == 0:
-                # fold the recent url_seen deltas into the bucketed
-                # base: subsequent epochs' J1 anti-join is storage-
-                # partitioned (big side never shuffles). Bloom keeps
-                # covering the merged rows; compact keeps its dir list
-                # bounded.
-                store.bucketize("url_seen", buckets=self.config.seen_partitions)
+            rows_since_bucketize += n
+            do_bucketize = (
+                bucketize_every and (epoch + 1) % bucketize_every == 0
+            ) or (
+                bucketize_every is None
+                and rows_since_bucketize >= cfg.auto_bucketize_min_rows
+            )
+            if do_bucketize:
+                # fold the recent url_seen deltas into a new bucketed
+                # generation (O(delta) write): subsequent epochs' J1
+                # anti-join is storage-partitioned (big side never
+                # shuffles). Bloom keeps covering the merged rows;
+                # compact keeps the packed dir list bounded.
+                store.bucketize(
+                    "url_seen",
+                    buckets=cfg.seen_partitions,
+                    merge_at=cfg.bucketize_merge_generations,
+                )
                 store.compact("__state__")
                 self._bloom_stats = None
-            if compact_every and (epoch + 1) % compact_every == 0:
+                rows_since_bucketize = 0
+            do_compact = (
+                compact_every and (epoch + 1) % compact_every == 0
+            ) or (
+                compact_every is None
+                and max(
+                    (
+                        len(ps)
+                        for t, ps in store.read_manifest()["tables"].items()
+                        if t in ("url_seen", "__state__")
+                    ),
+                    default=0,
+                )
+                > cfg.auto_compact_max_dirs
+            )
+            if do_compact:
                 # bound the per-epoch manifest-dir unions on long
                 # crawls; data tables (docs/assets/images/html) stay
                 # append-only — rewriting payload bytes every K epochs
@@ -940,7 +1011,8 @@ class CrawlPlan:
             base_col.alias("base"),
             ext_col.alias("ext"),
             F.lit("asset").alias("style"),
-            (F.col("seq") * (1 << _POS_BITS) + F.col("asset_pos")).alias("save_seq"),
+            F.col("seq").alias("save_seq"),
+            F.col("asset_pos").cast("long").alias("save_pos"),
             F.col("page_url").alias("url"),
             "asset_url", "kind", "nbytes", "seq",
         )
@@ -949,7 +1021,8 @@ class CrawlPlan:
             markdown_base_filename_col(F.col("title"), F.col("url")).alias("base"),
             F.lit(".md").alias("ext"),
             F.lit("page").alias("style"),
-            (F.col("seq") * (1 << _POS_BITS) + F.lit(_MD_POS)).alias("save_seq"),
+            F.col("seq").alias("save_seq"),
+            F.lit(_MD_POS).alias("save_pos"),
             "url",
             F.lit(None).cast("string").alias("asset_url"),
             F.lit(None).cast("string").alias("kind"),

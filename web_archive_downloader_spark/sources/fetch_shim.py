@@ -80,8 +80,15 @@ def fetch_stage(scheduled: DataFrame, pacer=None) -> DataFrame:
     """SRC2/U7: one fetch attempt per scheduled frontier row.
     Input needs (url, attempt); output adds (outcome, html).
 
-    If the input carries ``pace_slot``, each Arrow batch is executed
-    in slot order (the politeness calendar's firing order); a
+    If the input carries ``pace_slot``, the WHOLE partition is
+    drained and sorted before any fetch fires, so execution follows
+    the politeness calendar's firing order across Arrow-batch
+    boundaries (mapInPandas splits partitions at ~10k rows; a
+    per-batch sort would let a later batch's low-slot row fire out of
+    calendar order under live pacing). Memory: the drained rows are
+    the PRE-fetch frontier slice (url/host/slot — no html), bounded
+    per epoch by the per-host budgets; fetched output is re-chunked
+    so no Arrow batch carries the whole partition's payload bytes. A
     ``pacer`` factory (epoch-relative, e.g. politeness_pacer bound to
     epoch_start) is invoked per row before its fetch in live
     deployments."""
@@ -90,27 +97,40 @@ def fetch_stage(scheduled: DataFrame, pacer=None) -> DataFrame:
         + [T.StructField("outcome", T.StringType()), T.StructField("html", T.StringType())]
     )
     paced = "pace_slot" in scheduled.columns
+    _OUT_CHUNK = 4096
+
+    def run_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        outcomes, htmls = [], []
+        hosts = pdf["host"] if "host" in pdf.columns else None
+        for i, (url, attempt) in enumerate(zip(pdf["url"], pdf["attempt"])):
+            if paced and pacer is not None:
+                pacer(
+                    float(pdf["pace_slot"].iloc[i]),
+                    hosts.iloc[i] if hosts is not None else None,
+                )
+            o, h = wayback_fetch_sim(url, int(attempt))
+            outcomes.append(o)
+            htmls.append(h)
+        pdf = pdf.copy()
+        pdf["outcome"] = outcomes
+        pdf["html"] = htmls
+        return pdf
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if paced:
-                sort_cols = ["pace_slot"] + (["seq"] if "seq" in pdf.columns else [])
-                pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-            outcomes, htmls = [], []
-            hosts = pdf["host"] if "host" in pdf.columns else None
-            for i, (url, attempt) in enumerate(zip(pdf["url"], pdf["attempt"])):
-                if paced and pacer is not None:
-                    pacer(
-                        float(pdf["pace_slot"].iloc[i]),
-                        hosts.iloc[i] if hosts is not None else None,
-                    )
-                o, h = wayback_fetch_sim(url, int(attempt))
-                outcomes.append(o)
-                htmls.append(h)
-            pdf = pdf.copy()
-            pdf["outcome"] = outcomes
-            pdf["html"] = htmls
-            yield pdf
+        if not paced:
+            for pdf in batches:
+                yield run_chunk(pdf)
+            return
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        sort_cols = ["pace_slot"] + (["seq"] if "seq" in whole.columns else [])
+        whole = whole.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        for start in range(0, len(whole), _OUT_CHUNK):
+            yield run_chunk(
+                whole.iloc[start : start + _OUT_CHUNK].reset_index(drop=True)
+            )
 
     return scheduled.mapInPandas(fetch_batches, out_schema)
 

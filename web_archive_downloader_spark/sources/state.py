@@ -51,6 +51,7 @@ _PACKED_SCHEMA = T.StructType(
         T.StructField("value", T.LongType()),
         T.StructField("sketch", T.BinaryType()),
         T.StructField("version", T.IntegerType()),
+        T.StructField("n_partitions", T.IntegerType()),
         T.StructField("epoch", T.IntegerType()),
     ]
 )
@@ -60,7 +61,7 @@ _PACKED_FIELDS: dict[str, list[str]] = {
     "processed": ["url", "seq", "disposition", "epoch"],
     "lineage": ["host", "partition_id", "granted", "epoch"],
     "metrics": ["epoch", "metric", "value"],
-    "bloom": ["partition_id", "sketch", "version"],
+    "bloom": ["partition_id", "sketch", "version", "n_partitions"],
 }
 
 _TYPES = {f.name: f.dataType for f in _PACKED_SCHEMA.fields}
@@ -121,12 +122,24 @@ class StateStore:
         """Stage several PACKED member tables as one write (one job,
         one epoch dir) — see the module-level packed-state note. Each
         member projects onto the sparse union schema with a `_table`
-        discriminator; columns a member lacks ride as nulls."""
+        discriminator; union-schema columns a member's REGISTRY entry
+        lacks ride as nulls. Each member df must carry exactly its
+        registered columns — silently null-filling a missing member
+        column would mask schema drift (e.g. a renamed lineage field)
+        as all-null state rows instead of failing the write."""
         parts = []
         for name, df in dfs.items():
             if name not in _PACKED_FIELDS:
                 raise ValueError(f"{name} is not a packed state table")
             have = set(df.columns)
+            want = set(_PACKED_FIELDS[name])
+            if have != want:
+                raise ValueError(
+                    f"packed member {name}: columns {sorted(have)} do not "
+                    f"match the registered schema {sorted(want)} "
+                    "(missing: %s, unexpected: %s)"
+                    % (sorted(want - have), sorted(have - want))
+                )
             cols = [F.lit(name).alias("_table")] + [
                 (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
                 for f in _PACKED_SCHEMA.fields[1:]
@@ -167,21 +180,37 @@ class StateStore:
 
     # --- reads (committed snapshots only) ---
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        base, delta = self.read_parts(table, schema)
-        return delta if base is None else base.unionByName(delta)
+        bases, delta = self.read_parts(table, schema)
+        out = None
+        for b in bases:  # oldest generation first, delta last
+            out = b if out is None else out.unionByName(b)
+        return delta if out is None else out.unionByName(delta)
+
+    def _bucketed_gens(self, manifest: dict, table: str) -> list[dict]:
+        """The table's bucketed GENERATION chain (oldest first). Each
+        bucketize call appends one O(delta) generation; a merge
+        collapses the chain to one. Legacy manifests stored a single
+        dict — read it as a one-element chain."""
+        ptr = manifest.get("bucketed", {}).get(table)
+        if ptr is None:
+            return []
+        return [ptr] if isinstance(ptr, dict) else list(ptr)
 
     def read_parts(
         self, table: str, schema: T.StructType | None = None
-    ) -> tuple[DataFrame | None, DataFrame]:
-        """(bucketed base or None, delta rows). The SCALE read: callers
-        that join against the table keep the base separate so its
-        bucketed scan reaches the join without an Exchange (a union
-        would erase the bucket distribution); `read` is the
-        convenience union for full-relation consumers. Delta rows union
-        the table's own epoch dirs with its packed-state rows."""
+    ) -> tuple[list[DataFrame], DataFrame]:
+        """(bucketed base generations, delta rows). The SCALE read:
+        callers that join against the table keep each generation
+        separate so every bucketed scan reaches its join without an
+        Exchange (a union would erase the bucket distribution); `read`
+        is the convenience union for full-relation consumers. Delta
+        rows union the table's own epoch dirs with its packed-state
+        rows."""
         manifest = self.read_manifest()
-        ptr = manifest.get("bucketed", {}).get(table)
-        base = self.spark.table(ptr["name"]) if ptr else None
+        bases = [
+            self.spark.table(g["name"])
+            for g in self._bucketed_gens(manifest, table)
+        ]
         if schema is None and table in _PACKED_FIELDS:
             schema = _member_schema(table)  # normalize legacy dirs for the union
         parts = []
@@ -202,53 +231,72 @@ class StateStore:
             if schema is None:
                 if table in _PACKED_FIELDS:
                     schema = _member_schema(table)
-                elif base is not None:
-                    schema = base.schema
+                elif bases:
+                    schema = bases[0].schema
                 else:
                     raise ValueError(f"table {table} empty and no schema given")
-            return base, self.spark.createDataFrame([], schema)
+            return bases, self.spark.createDataFrame([], schema)
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p)
-        return base, delta
+        return bases, delta
 
-    def bucketize(self, table: str, buckets: int = 32, key: str = "url") -> str:
-        """Materialize a table's full row set as a NEW versioned
-        bucketed catalog table (hash-bucketed + sorted by ``key``) and
-        atomically repoint the manifest at it, clearing the merged
-        epoch dirs. This is Iceberg's rewrite_data_files with a
-        bucket(N, key) partition transform: after it, an anti-join
-        against the table is storage-partitioned — the (big) seen side
-        never shuffles again, only the probe side does.
+    def bucketize(
+        self, table: str, buckets: int = 32, key: str = "url", merge_at: int = 4
+    ) -> str:
+        """INCREMENTAL bucketize: fold the table's accumulated DELTA
+        rows (epoch dirs + packed rows above the floor) into a NEW
+        bucketed catalog generation (hash-bucketed + sorted by
+        ``key``) and atomically append it to the manifest's generation
+        chain, clearing the merged epoch dirs. This is Iceberg's
+        incremental rewrite_data_files with a bucket(N, key) partition
+        transform: each call writes O(delta) rows — NEVER a rewrite of
+        the full (10^10-row at target scale) base — and an anti-join
+        against every generation is storage-partitioned (the big side
+        never shuffles; anti_join_unseen chains the generations).
 
-        Crash-safe: the bucketed table is written under a fresh name;
+        The chain is kept short: once it would exceed ``merge_at``
+        generations (or an incompatible buckets/key is requested), ALL
+        generations + delta merge into one table — the rare, amortized
+        O(table) compaction, every-merge_at-th call instead of every
+        call. Write amplification per row is thus 1 + 1/merge_at
+        amortized vs the old rewrite-everything's O(chain length).
+
+        Crash-safe: generation tables are written under fresh names;
         the manifest swap (os.replace) is the only commit point; a
         crash before it leaves an orphan catalog table and the old
         manifest — readers never see a partial state. Rollback past
         the merge point is refused (compaction_floor), matching
-        snapshot-expiry semantics. Returns the new table name."""
+        snapshot-expiry semantics. Returns the newest table name."""
         manifest = self.read_manifest()
-        ptr = manifest.get("bucketed", {}).get(table)
+        gens = self._bucketed_gens(manifest, table)
         paths = manifest["tables"].get(table, [])
         packed = (
             self._packed_member(table, manifest) if table in _PACKED_FIELDS else None
         )
-        if not paths and packed is None and ptr:
-            return ptr["name"]  # nothing new to merge
-        parts = []
-        if ptr:
-            parts.append(self.spark.table(ptr["name"]))
+        delta_parts = []
         if paths:
-            parts.append(self.spark.read.parquet(*paths))
+            delta_parts.append(self.spark.read.parquet(*paths))
         if packed is not None:
-            parts.append(packed)
-        if not parts:
+            delta_parts.append(packed)
+        if not delta_parts:
+            if gens:
+                return gens[-1]["name"]  # nothing new to merge
             raise ValueError(f"bucketize: table {table} is empty")
-        df = parts[0]
-        for p in parts[1:]:
+        df = delta_parts[0]
+        for p in delta_parts[1:]:
             df = df.unionByName(p)
         epoch = manifest["epoch"]
-        name = f"wad_{self._ident}_{table}_b{max(epoch, 0)}"
+        merging = len(gens) + 1 > merge_at or any(
+            g["buckets"] != buckets or g["key"] != key for g in gens
+        )
+        if merging:
+            for g in gens:
+                df = df.unionByName(self.spark.table(g["name"]))
+        name = (
+            f"wad_{self._ident}_{table}_b{max(epoch, 0)}"
+            f"g{0 if merging else len(gens) + 1}"
+        )
         (
             df.write.mode("overwrite")
             .format("parquet")
@@ -256,11 +304,10 @@ class StateStore:
             .sortBy(key)
             .saveAsTable(name)
         )
-        manifest.setdefault("bucketed", {})[table] = {
-            "name": name,
-            "buckets": buckets,
-            "key": key,
-        }
+        new_gen = {"name": name, "buckets": buckets, "key": key}
+        manifest.setdefault("bucketed", {})[table] = (
+            [new_gen] if merging else gens + [new_gen]
+        )
         manifest["tables"][table] = []
         manifest.setdefault("compaction_floor", {})[table] = epoch
         if table in _PACKED_FIELDS:
@@ -269,8 +316,10 @@ class StateStore:
             # them physically
             manifest.setdefault("packed_floor", {})[table] = epoch
         self._write_manifest(manifest)  # atomic swap
-        if ptr and ptr["name"] != name:
-            self.spark.sql(f"DROP TABLE IF EXISTS {ptr['name']}")
+        if merging:
+            for g in gens:
+                if g["name"] != name:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {g['name']}")
         for p in paths:
             shutil.rmtree(p, ignore_errors=True)
         return name
@@ -366,9 +415,11 @@ class StateStore:
         self._write_manifest(manifest)
 
     def destroy(self) -> None:
-        for ptr in self.read_manifest().get("bucketed", {}).values():
-            try:
-                self.spark.sql(f"DROP TABLE IF EXISTS {ptr['name']}")
-            except Exception:
-                pass
+        manifest = self.read_manifest()
+        for table in manifest.get("bucketed", {}):
+            for g in self._bucketed_gens(manifest, table):
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {g['name']}")
+                except Exception:
+                    pass
         shutil.rmtree(self.root, ignore_errors=True)

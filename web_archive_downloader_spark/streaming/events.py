@@ -72,8 +72,12 @@ def stream_frontier_feed(
     checkpoint (no shard re-read) + batch-id-keyed overwrite (a
     replayed batch overwrites its own dir, never duplicates). The
     epoch loop drains the inbox between epochs with
-    ``drain_frontier_inbox`` — seen-set dedup stays in the epoch
-    anti-join, which needs the full membership state (batch side)."""
+    ``CrawlPlan.ingest_inbox`` — the SANCTIONED drain path: it
+    repacks each row's raw per-shard seq into the 2^45+ ingest
+    namespace (raw feed seqs alias the CDX-seed seq space) and
+    commits drained batch ids atomically with the frontier swap.
+    Seen-set dedup stays in the epoch anti-join, which needs the full
+    membership state (batch side)."""
     from ..sources.cdx import cdx_server_filter
 
     raw = (
@@ -109,12 +113,17 @@ def stream_frontier_feed(
 
 
 def drain_frontier_inbox(spark: SparkSession, inbox_dir: str) -> DataFrame:
-    """Read all landed feed batches as frontier-candidate rows (the
-    epoch loop unions this with the frontier and lets the J1 anti-join
-    dedup against url_seen). Drops the batch-id partition column —
-    it is commit bookkeeping, not frontier state. An inbox with no
-    landed batch yet (stream started, nothing triggered) is a valid
-    empty frontier, not a read error."""
+    """INSPECTION/TEST helper: read all landed feed batches as
+    frontier-candidate rows. NOT the crawl's drain path — rows keep
+    their raw per-shard seqs, which alias the CDX-seed seq space;
+    feeding them into a frontier directly would create
+    nondeterministic ordering collisions with seeds. The epoch loop
+    drains with ``CrawlPlan.ingest_inbox``, which repacks seqs into
+    the 2^45+ ingest namespace and commits batch ids exactly-once.
+    Drops the batch-id partition column — it is commit bookkeeping,
+    not frontier state. An inbox with no landed batch yet (stream
+    started, nothing triggered) is a valid empty frontier, not a
+    read error."""
     import os
 
     from ..plans.crawl import FRONTIER_SCHEMA

@@ -433,6 +433,51 @@ def _q_volume_shipping(spark, sf):
     )
 
 
+def _q_click_attribution(spark, sf):
+    """RANGE JOIN (interval-bucketed): clicks attributed to each
+    purchase by the same user within the preceding 30 minutes
+    (half-open [p.ts-30min, p.ts)). The operator quantizes time into
+    window-span buckets so the join is a pure equi-join on
+    (user_id, bucket) — never a per-key cross product with a post
+    filter, never a BNLJ (plan-asserted in test_plan_shapes);
+    purchases with no clicks ride back in via a left join."""
+    from web_archive_downloader_spark.operators.rangejoin import (
+        MICROS_PER_MINUTE,
+        range_join,
+    )
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("v"),
+    )
+    pairs = range_join(
+        purchases, clicks, key="user_id",
+        lower_micros=-30 * MICROS_PER_MINUTE, upper_micros=0,
+        left_ts="p_ts", right_ts="c_ts",
+    )
+    agg = pairs.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("v"), 4).alias("click_value"),
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(agg, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
+        )
+    )
+
+
 def _q_moving_avg_events(spark, sf):
     """Window FRAME analytics: per-user 3-row moving average of event
     value ordered by (ts, event_id) — one shuffle on the key, frame
@@ -879,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_selection": _q_corpus_selection,
         "volume_shipping": _q_volume_shipping,
         "token_counts": _q_token_counts,
+        "click_attribution": _q_click_attribution,
         "moving_avg_events": _q_moving_avg_events,
         "cube_revenue": _q_cube_revenue,
         "top_customers": _q_top_customers,
@@ -1597,6 +1643,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
             GROUP BY 1, 2, 3
+        """,
+        "click_attribution": """
+            SELECT p.event_id AS purchase_id,
+                   count(c.event_id) AS n_clicks,
+                   round(coalesce(sum(c.value), 0), 4) AS click_value
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
         """,
         "moving_avg_events": """
             SELECT user_id, event_id,

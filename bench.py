@@ -365,6 +365,95 @@ def scaling() -> None:
     )
 
 
+def politeness_bench() -> None:
+    """--politeness mode: the one politeness configuration matrix not
+    covered by the default bench — LIVE pacing (real executor-side
+    sleeps to the slot calendar, scaled-down delays) in both fetch
+    layouts, against the no-pacing compute baseline, on the SAME
+    multi-host input:
+
+      off       live_pacing=False                 (compute ceiling)
+      calendar  live_pacing=True, scatter-by-url  (per-host spacing
+                via absolute pace slots; full fetch parallelism)
+      strict    live_pacing=True, colocate-hosts  (pacer's per-host
+                floor is a strict global guarantee; each host's rows
+                serialize onto one task)
+
+    Reports urls/sec each + the strict/calendar throughput ratio —
+    the measured cost of the global floor. Delays are real sleeps:
+    with H hosts and per-host budget b = epoch_seconds/delay, a
+    calendar epoch's floor wall time is ~b*delay regardless of
+    parallelism; the interesting number is how much MORE the
+    colocated layout pays when a skewed host's whole queue serializes."""
+    from web_archive_downloader_spark.datagen import default_config, gen_cdx_multihost
+    from web_archive_downloader_spark.plans.crawl import CrawlPlan
+    from web_archive_downloader_spark.sources.cdx import cdx_dataframe
+    from web_archive_downloader_spark.sources.state import StateStore
+    from web_archive_downloader_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_POLITE_URLS", "600"))
+    hosts = int(os.environ.get("SPARK_GRAFT_POLITE_HOSTS", "16"))
+    delay = float(os.environ.get("SPARK_GRAFT_POLITE_DELAY", "0.05"))
+    epoch_seconds = float(os.environ.get("SPARK_GRAFT_POLITE_EPOCH", "3.0"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    raw = gen_cdx_multihost(n, hosts, zipf=0.7)
+
+    spark = get_spark("politebench", cores=cpus, shuffle_partitions=cpus)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    modes = {
+        "off": dict(live_pacing=False, fetch_colocate_hosts=False),
+        "calendar": dict(live_pacing=True, fetch_colocate_hosts=False),
+        "strict": dict(live_pacing=True, fetch_colocate_hosts=True),
+    }
+    results = {}
+    for name, kw in modes.items():
+        cfg = default_config(
+            epoch_seconds=epoch_seconds,
+            request_delay_seconds=delay,
+            target_domain="",
+            **kw,
+        )
+        tmp = tempfile.mkdtemp(prefix=f"bench_polite_{name}_")
+        try:
+            store = StateStore(tmp, spark)
+            plan = CrawlPlan(spark, store, cfg)
+            t0 = time.perf_counter()
+            stats = plan.run(cdx_dataframe(spark, raw))
+            dt = time.perf_counter() - t0
+            results[name] = {
+                "seconds": round(dt, 3),
+                "epochs": stats.epochs,
+                "scheduled": stats.scheduled,
+                "urls_per_sec": round(stats.scheduled / dt, 2),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "politeness-mode crawl throughput (live executor-side sleeps)",
+                "urls": n,
+                "hosts": hosts,
+                "request_delay_seconds": delay,
+                "epoch_seconds": epoch_seconds,
+                "cpus": cpus,
+                "modes": results,
+                "strict_vs_calendar": round(
+                    results["strict"]["urls_per_sec"]
+                    / results["calendar"]["urls_per_sec"],
+                    3,
+                ),
+                "calendar_vs_off": round(
+                    results["calendar"]["urls_per_sec"]
+                    / results["off"]["urls_per_sec"],
+                    3,
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
 def _burn(n: int) -> float:
     t0 = time.perf_counter()
     x = 0
@@ -401,5 +490,7 @@ if __name__ == "__main__":
         scaling()
     elif "--compute-batch" in sys.argv:
         compute_batch_main()
+    elif "--politeness" in sys.argv:
+        politeness_bench()
     else:
         main()

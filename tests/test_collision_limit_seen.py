@@ -15,7 +15,9 @@ def test_final_seen_excludes_collision_limit_failures(spark, tmp_path, monkeypat
     # 130 pages, same dir (/p/x-N with dir output/p), same title
     import web_archive_downloader_spark.datagen as dg
 
-    urls = [f"https://ex.com/p/x-{i}" for i in range(130)]
+    # >101 same-name pages trips the limit; 104 keeps the overflow
+    # class (3 aborted saves) without paying for 30 extra pages
+    urls = [f"https://ex.com/p/x-{i}" for i in range(104)]
     raw = [[u, "20230101000000", "text/html"] for u in urls]
 
     fixed_html = (

@@ -130,3 +130,69 @@ def test_ann_bruteforce_rank_is_prereduced(spark):
     # formatted explain prints root-first: the upstream (leaf-ward)
     # MapInPandas reduction must appear below the downstream Window
     assert plan.index("MapInPandas") > plan.index("Window")
+
+
+def test_range_join_is_equi_join_no_bnlj(spark):
+    """The interval-bucketed range join must plan as a hash/sort-merge
+    EQUI-join on (key, bucket) — never a BroadcastNestedLoopJoin or
+    CartesianProduct (what a raw inequality-condition join degenerates
+    to), and the window refinement is a post-join filter."""
+    q = entry_mod.queries()["click_attribution"](spark, SF)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_range_join_boundaries_exact(spark):
+    """Half-open window semantics at exact boundaries vs a naive
+    inequality join: rows AT lower edge included, AT upper edge
+    excluded, across bucket borders."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from web_archive_downloader_spark.operators.rangejoin import (
+        MICROS_PER_MINUTE,
+        range_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("lid", T.LongType()),
+            T.StructField("lts", T.TimestampNTZType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("rid", T.LongType()),
+            T.StructField("rts", T.TimestampNTZType()),
+        ]
+    )
+    left = spark.createDataFrame([(1, 100, mins(0))], lschema)
+    right = spark.createDataFrame(
+        [
+            (1, 1, mins(-30)),          # exactly at lower edge -> IN
+            (1, 2, mins(-30) - dt.timedelta(microseconds=1)),  # just below -> OUT
+            (1, 3, mins(0)),            # exactly at upper edge -> OUT (half-open)
+            (1, 4, mins(0) - dt.timedelta(microseconds=1)),    # just inside -> IN
+            (1, 5, mins(-15)),          # mid-window -> IN
+            (2, 6, mins(-15)),          # other key -> OUT
+        ],
+        rschema,
+    )
+    got = sorted(
+        r.rid
+        for r in range_join(
+            left, right, key="k",
+            lower_micros=-30 * MICROS_PER_MINUTE, upper_micros=0,
+            left_ts="lts", right_ts="rts",
+        ).collect()
+    )
+    assert got == [1, 4, 5]

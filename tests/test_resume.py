@@ -84,20 +84,27 @@ def test_kill_and_resume_identical(spark, tmp_path):
 
 
 def test_compaction_preserves_state_and_resume(spark, tmp_path):
-    """StateStore.compact: epoch dirs collapse to one with identical
-    rows; a crawl resumed AFTER compaction completes with the same
-    outputs; rollback past the compaction point is refused (Iceberg
-    snapshot-expiry semantics)."""
+    """Compaction, both entry points, in ONE crawl (merged from two
+    separate full-crawl tests — same coverage, one multi-epoch run):
+    the first leg runs with compact_every_epochs=2 (the IN-LOOP path
+    fires mid-crawl), is stopped after 3 epochs, manually compacted
+    again (the explicit API path: identical rows before/after,
+    rollback past the floor refused — Iceberg snapshot-expiry), then
+    resumed to completion and compared to the oracle exactly (order,
+    seen, doc bytes)."""
     import pytest
     from web_archive_downloader_spark.plans.crawl import URL_SEEN_SCHEMA
 
     raw = gen_cdx_records(n_urls=30, seed=17)
-    cfg = default_config(epoch_seconds=20.0, max_retries=2)
+    cfg = default_config(epoch_seconds=20.0, compact_every_epochs=2, max_retries=2)
 
-    # run midway, compact url_seen, resume to completion
+    # run midway (in-loop compaction fires at epoch 1), compact again
+    # explicitly, resume to completion
     store = StateStore(str(tmp_path / "c"), spark)
     plan = CrawlPlan(spark, store, cfg)
     plan.run(cdx_dataframe(spark, raw), max_epochs=3)
+    paths = store.read_manifest()["tables"]["__state__"]
+    assert any("compacted=" in p for p in paths)  # in-loop leg ran
     before = sorted(
         (r.url, r.seq) for r in store.read("url_seen", URL_SEEN_SCHEMA).collect()
     )
@@ -119,28 +126,6 @@ def test_compaction_preserves_state_and_resume(spark, tmp_path):
     assert got == exp
     seen = [r.url for r in store.read("url_seen", URL_SEEN_SCHEMA).orderBy("seq").collect()]
     assert seen == oracle.seen
-
-
-def test_inloop_compaction_equivalent(spark, tmp_path):
-    """compact_every_epochs=2: a crawl that compacts its state tables
-    every 2 epochs matches the oracle exactly (order, seen, doc bytes)."""
-    raw = gen_cdx_records(n_urls=30, seed=17)
-    cfg = default_config(epoch_seconds=20.0, compact_every_epochs=2, max_retries=2)
-
-    s2, _, d2, a2 = _run_full(spark, str(tmp_path / "q"), cfg, raw)
-    oracle = run_oracle(raw, cfg)
-    order, seen, doc_rows, _ = _snapshot(s2, d2, a2)
-    assert order == oracle.crawl_order
-    assert seen == oracle.seen
-    exp_rows = sorted(
-        (d["url"], d["ts"], d["via"], d["title"], d["dir"], d["filename"], d["markdown"])
-        for d in oracle.docs
-    )
-    assert doc_rows == exp_rows
-    # compaction actually ran: the packed state table is a single
-    # compacted dir (url_seen and its siblings live inside it)
-    paths = s2.read_manifest()["tables"]["__state__"]
-    assert any("compacted=" in p for p in paths)
 
 
 def test_checkpoint_skip(spark, tmp_path):

@@ -35,7 +35,7 @@ def test_spark_submit_py_files(tmp_path):
             # --conf beats its local default of 16
             "--conf", "spark.sql.shuffle.partitions=4",
             os.path.join(REPO, "submit_job.py"),
-            "30",
+            "12",  # JVM launch dominates; 12 urls exercise the contract
         ],
         capture_output=True,
         text=True,

@@ -1,0 +1,80 @@
+"""Interval-bucketed RANGE JOIN — time-window joins that stay
+equi-joins at scale.
+
+Spark has no native range-join optimization: a join whose condition is
+``r.ts BETWEEN l.ts + lower AND l.ts + upper`` (plus an equality key)
+plans as a SortMergeJoin on the key alone with the time predicate as a
+post-join filter — correct, but every key group materializes its full
+cross product before filtering; for a hot key with k rows per side
+that is O(k^2) rows through the join, the classic skew blowup of
+event-attribution workloads. With NO equality key at all it degenerates
+to BroadcastNestedLoopJoin/cartesian.
+
+The standard fix (Databricks' range-join "bin" hints, interval
+bucketing in the literature): quantize time into buckets of width =
+the window span and join on (key, bucket) — a pure equi-join.
+
+- each RIGHT row lands in exactly ONE bucket: floor(ts / w);
+- each LEFT row explodes to the <= 2 consecutive buckets its window
+  [ts+lower, ts+upper) can overlap;
+- the exact window predicate refines the bucket matches.
+
+Because a right row has one bucket, a qualifying (l, r) pair meets in
+exactly one bucket — no duplicate pairs, no post-hoc distinct. Pair
+volume through the join is bounded by rows-per-(key, bucket) — i.e. by
+how many events a key emits per window-span, not per key-lifetime.
+All arithmetic is int64 microseconds (unix_micros), so boundaries are
+exact and the DuckDB oracle twin's INTERVAL arithmetic agrees
+bit-for-bit.
+
+Scale: one Exchange per side on (key, bucket); with skewed keys the
+bucket term splits a hot key's rows across time — the time dimension
+IS the salt. The explode is x2 on the left only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICROS_PER_MINUTE = 60_000_000
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lower_micros: int,
+    upper_micros: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Pairs (left row, right row) sharing ``key`` with
+    right_ts in [left_ts + lower_micros, left_ts + upper_micros)
+    (half-open window). Column names other than ``key`` must be
+    disjoint between the two inputs. Window must be non-empty
+    (lower < upper)."""
+    if not lower_micros < upper_micros:
+        raise ValueError("range_join needs lower_micros < upper_micros")
+    w = upper_micros - lower_micros
+    # NTZ columns cast through "timestamp" (session-tz shift is a
+    # CONSTANT offset on both sides, so window membership — a
+    # difference — is unaffected)
+    lm = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rm = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    # floor division that is a true floor for negative values too
+    # (pre-1970 timestamps): Spark's `div` truncates toward zero
+    fdiv = lambda x: F.floor(x / F.lit(w)).cast("long")  # noqa: E731
+
+    l = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(fdiv(lm + F.lit(lower_micros)), fdiv(lm + F.lit(upper_micros - 1)))
+        ),
+    ).withColumn("__lm", lm)
+    r = right.withColumn("__b", fdiv(rm)).withColumn("__rm", rm)
+    out = l.join(r, on=[key, "__b"]).filter(
+        (F.col("__rm") >= F.col("__lm") + F.lit(lower_micros))
+        & (F.col("__rm") < F.col("__lm") + F.lit(upper_micros))
+    )
+    return out.drop("__b", "__lm", "__rm")

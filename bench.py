@@ -39,6 +39,7 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "token_counts",
     "volume_shipping",
+    "click_attribution",
 ]
 
 # Per-query repeats: the host is shared and bursty, so single-shot

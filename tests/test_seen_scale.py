@@ -222,6 +222,37 @@ def test_bucketized_base_joins_without_big_side_shuffle(spark, tmp_path):
         store.destroy()
 
 
+def test_auto_scale_posture_triggers_and_matches_oracle(spark, tmp_path):
+    """DEFAULT-config scale posture: with bucketize/compact unset
+    (None = auto), a crawl whose seen rows pass auto_bucketize_min_rows
+    bucketizes ITSELF mid-crawl (threshold shrunk here so a small
+    fixture trips it) and still matches the oracle exactly."""
+    raw = gen_cdx_records(n_urls=25, seed=19)
+    cfg = default_config(epoch_seconds=20.0, max_retries=2, auto_bucketize_min_rows=8)
+    assert cfg.bucketize_seen_every_epochs is None  # auto is the default
+    assert cfg.compact_every_epochs is None
+    oracle = run_oracle(raw, cfg)
+
+    store = StateStore(str(tmp_path / "ap"), spark)
+    plan = CrawlPlan(spark, store, cfg)
+    plan.run(cdx_dataframe(spark, raw))
+    manifest = store.read_manifest()
+    assert store._bucketed_gens(manifest, "url_seen")  # fired by itself
+    docs, _ = plan.finalize_outputs()
+    order = [
+        r.url
+        for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
+    ]
+    assert order == oracle.crawl_order
+    got = {r.url: (r.title, r.dir, r.filename, r.markdown) for r in docs.collect()}
+    exp = {
+        d["url"]: (d["title"], d["dir"], d["filename"], d["markdown"])
+        for d in oracle.docs
+    }
+    assert got == exp
+    store.destroy()
+
+
 def test_incremental_bucketize_writes_only_deltas(spark, tmp_path):
     """Each bucketize call after the first writes O(delta) rows into a
     NEW generation table — never a rewrite of the full base (the

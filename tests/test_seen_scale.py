@@ -228,7 +228,9 @@ def test_auto_scale_posture_triggers_and_matches_oracle(spark, tmp_path):
     bucketizes ITSELF mid-crawl (threshold shrunk here so a small
     fixture trips it) and still matches the oracle exactly."""
     raw = gen_cdx_records(n_urls=25, seed=19)
-    cfg = default_config(epoch_seconds=20.0, max_retries=2, auto_bucketize_min_rows=8)
+    # threshold sized to fire ~twice over the ~30 seen rows (firing
+    # every epoch would triple the test's bucketize+compact cost)
+    cfg = default_config(epoch_seconds=20.0, max_retries=2, auto_bucketize_min_rows=12)
     assert cfg.bucketize_seen_every_epochs is None  # auto is the default
     assert cfg.compact_every_epochs is None
     oracle = run_oracle(raw, cfg)

@@ -526,6 +526,49 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
+def _ivf_centroids(sf_dir: str, n_clusters: int = 16, iters: int = 5) -> list:
+    """Deterministic IVF codebook shared by the engine query and the
+    DuckDB twin: plain Lloyd's in numpy float64 over the vec_id-sorted
+    embeddings, init = first n_clusters vectors (no RNG). Both sides
+    consume the RESULTING centroid literals, so cross-engine identity
+    only requires the (shared, literal) inputs — the per-row
+    assignment argmin is recomputed in each engine with the same
+    left-to-right fold. Production analog: codebooks are trained
+    offline and shipped to the job as data."""
+    import duckdb as _dd
+    import numpy as _np
+
+    rows = _dd.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    X = _np.array([r[0] for r in rows], dtype=_np.float64)
+    C = X[:n_clusters].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)  # ties -> lowest cluster id, same as both twins
+        for j in range(n_clusters):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return C.tolist()
+
+
+def _q_ann_ivf_topk(spark, sf):
+    """IVF ANN as a CHECKED query: precomputed deterministic codebook
+    (offline-trained in production; here Lloyd's over the corpus —
+    _ivf_centroids), literal-centroid argmin assignment, n_probe
+    nearest lists per query, exact cosine + rank. The DuckDB twin
+    replays the identical codebook literals, so the probe lists and
+    the approximate top-k match exactly — the third ANN path joins
+    brute-force and LSH in the oracle-checked set."""
+    from web_archive_downloader_spark.operators.ann import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10, n_probe=3,
+        centroids=_ivf_centroids(sf),
+    )
+
+
 def _phash_input(spark, sf):
     """Deterministic surrogate image relation for the phash near-dup
     CHECKED query: testdata has no image table, so (image_id, phash)
@@ -907,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "phash_pairs": _q_phash_pairs,
         "text_stats": _q_text_stats,
         "stratified_sample": _q_stratified_sample,
@@ -1112,6 +1156,66 @@ def _ann_lsh_sql(k: int = 10, n_planes: int = 4, n_tables: int = 8) -> str:
           SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
           FROM buckets c JOIN probes p
             ON c.tbl = p.qtbl AND c.b = p.qb AND c.vec_id != p.query_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_cosine_similarity(qe.v, ne.v), 4) AS cos
+          FROM cand
+          JOIN e qe ON qe.vec_id = cand.query_id
+          JOIN e ne ON ne.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, rn AS rank, neighbor_id, cos
+        FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rn
+          FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+def _ivf_sql(k: int = 10, n_probe: int = 3) -> str:
+    """DuckDB twin of the checked IVF query: the SAME codebook
+    literals (_ivf_centroids over the canonical sf0.01 corpus the
+    driver checks against), identical left-to-right squared-distance
+    fold, argmin assignment with (d, cluster) tie order, n_probe
+    probe lists, exact cosine + per-query rank."""
+    from web_archive_downloader_spark.operators.dedup import NEARDUP_DIM
+
+    cents = _ivf_centroids("/root/testdata/sf0.01")
+    rows = []
+    for ci, c in enumerate(cents):
+        vals = ", ".join(repr(x) for x in c)
+        rows.append(f"({ci}, [{vals}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+        WITH cents(cluster, c) AS (VALUES {values}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dists AS (
+          SELECT e.vec_id, cents.cluster,
+                 list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                     list_transform(range(1, {NEARDUP_DIM + 1}),
+                                    i -> (e.v[i] - c[i]) * (e.v[i] - c[i]))),
+                   (a, b) -> a + b) AS d
+          FROM e CROSS JOIN cents
+        ),
+        ranked AS (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+          FROM dists
+        ),
+        assigned AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cluster AS qc
+          FROM ranked WHERE rn <= {n_probe} AND vec_id IN ({qids})
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM assigned a JOIN probes p
+            ON a.cluster = p.qc AND a.vec_id != p.query_id
         ),
         scored AS (
           SELECT cand.query_id, cand.neighbor_id,
@@ -1441,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10
         """,
         "ann_lsh_topk": _ann_lsh_sql(k=10),
+        "ann_ivf_topk": _ivf_sql(k=10, n_probe=3),
         "phash_pairs": _phash_pairs_sql(max_hamming=6, chunks=7),
         "page_dir": """
             SELECT doc_id, 'output/' || source || '/sub_dir' AS dir

@@ -102,6 +102,19 @@ def brute_force_topk(
     )
 
 
+def _sqdist_expr(v: Column, center: list) -> Column:
+    """Squared euclidean distance of an array<double> column to a
+    literal centroid — the zip_with/fold runs strictly left-to-right,
+    matching the DuckDB twin's list_transform/list_reduce order
+    bit-for-bit (same technique as the neardup hyperplane dots)."""
+    lit_c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list,
@@ -109,41 +122,65 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    centroids: list | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse-quantize the corpus with
-    KMeans (pyspark.ml, seeded — deterministic), then search only the
-    ``n_probe`` clusters whose centroids are nearest each query.
+    """IVF (inverted-file) ANN: coarse-quantize the corpus, then
+    search only the ``n_probe`` clusters whose centroids are nearest
+    each query.
+
+    Quantizer: by default KMeans (pyspark.ml, seeded —
+    deterministic). Pass ``centroids`` (list of dim-length float
+    lists) to use a PRECOMPUTED codebook instead — assignment then
+    happens as literal-centroid argmin expressions in the scan
+    projection (no ML stage), which is both the production pattern
+    (codebooks are trained offline and shipped to the job) and what
+    lets the DuckDB oracle twin replay the identical assignment for
+    the checked query (__spark_entry__:ann_ivf_topk).
 
     Scale shape: the centroid table (n_clusters × dim) is tiny and
-    broadcast; corpus rows carry their cluster id from a single
-    pass (the fitted model's transform), so the probe is an equi-join
-    on cluster id — the classic IVF list-scan, shuffle-free on the
-    corpus side. Same output schema as brute_force_topk."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    folded into expressions; corpus rows carry their cluster id from
+    a single projection pass, so the probe is an equi-join on cluster
+    id — the classic IVF list-scan, shuffle-free on the corpus side.
+    Same output schema as brute_force_topk."""
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("features", array_to_vector(F.col("v")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(e)
-    assigned = model.transform(e).select(
-        "vec_id", "v", F.col("prediction").alias("cluster")
     )
-    centers = [c.tolist() for c in model.clusterCenters()]
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = e.withColumn("features", array_to_vector(F.col("v")))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+        assigned = model.transform(feats).select(
+            "vec_id", "v", F.col("prediction").alias("cluster")
+        )
+        centers = [c.tolist() for c in model.clusterCenters()]
+    else:
+        centers = [list(c) for c in centroids]
+        n_clusters = len(centers)
+        # argmin over literal centroids: array_sort on (d, cluster)
+        # structs — min distance, ties to the lowest cluster id (the
+        # twin's row_number ORDER BY d, cluster matches)
+        ds = [
+            F.struct(_sqdist_expr(F.col("v"), c).alias("d"), F.lit(ci).alias("cluster"))
+            for ci, c in enumerate(centers)
+        ]
+        assigned = e.select(
+            "vec_id", "v",
+            F.array_sort(F.array(*ds)).getItem(0).getField("cluster").alias("cluster"),
+        )
 
     q = assigned.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     # nearest n_probe centroids per query: tiny cross product, JVM-side
-    dists = []
-    for ci, center in enumerate(centers):
-        lit_c = F.array(*[F.lit(float(x)) for x in center])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), lit_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, b: a + b,
+    dists = [
+        F.struct(
+            _sqdist_expr(F.col("qv"), center).alias("d"),
+            F.lit(ci).alias("cluster"),
         )
-        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cluster")))
+        for ci, center in enumerate(centers)
+    ]
     probes = q.select(
         "query_id", "qv",
         F.explode(F.slice(F.array_sort(F.array(*dists)), 1, n_probe)).alias("p"),

@@ -63,7 +63,11 @@ def range_join(
     lm = F.unix_micros(F.col(left_ts).cast("timestamp"))
     rm = F.unix_micros(F.col(right_ts).cast("timestamp"))
     # floor division that is a true floor for negative values too
-    # (pre-1970 timestamps): Spark's `div` truncates toward zero
+    # (pre-1970 timestamps): Spark's `div` truncates toward zero.
+    # The long/long division goes through double: exact for
+    # |micros| < 2^53 (years ~±2250) — the window REFINEMENT below is
+    # pure int64 comparison, so a pathological out-of-domain timestamp
+    # could only drop a candidate pair, never admit a wrong one.
     fdiv = lambda x: F.floor(x / F.lit(w)).cast("long")  # noqa: E731
 
     l = left.withColumn(

@@ -120,3 +120,55 @@ def test_rewrite_hits_and_misses():
     _, md = extract_and_convert_content(html, URL, CFG, saved)
     assert "![](_assets/img/p.png)" in md  # rewritten, relative to page dir
     assert "![](/i/q.png)" in md  # unsaved asset untouched
+
+
+def test_srcset_collection_gated_and_filtered():
+    """include_srcset=False (default, reference parity — the
+    reference left srcset as a TODO) ignores srcset entirely; enabled,
+    every same-domain non-data candidate joins the img set, deduped
+    with img@src, cross-domain and data: candidates dropped."""
+    from web_archive_downloader_spark.content.extract import parse_srcset
+
+    html = (
+        '<html><body>'
+        '<img src="/a.png" srcset="/a-2x.png 2x, /a-3x.png 3x">'
+        '<source srcset="https://example.com/b.webp 640w,'
+        ' https://other.com/c.webp 1280w, data:image/gif;base64,x 2x">'
+        '<img srcset=" , /only.png ">'
+        '</body></html>'
+    )
+    url = "https://example.com/page"
+    off = find_assets(html, url, EngineConfig(target_domain="example.com"))
+    assert off["img"] == ["https://example.com/a.png"]
+
+    on = find_assets(
+        html, url, EngineConfig(target_domain="example.com", include_srcset=True)
+    )
+    assert on["img"] == [
+        "https://example.com/a-2x.png",
+        "https://example.com/a-3x.png",
+        "https://example.com/a.png",
+        "https://example.com/b.webp",
+        "https://example.com/only.png",
+    ]
+    assert parse_srcset("/x.png 2x, /y.png") == ["/x.png", "/y.png"]
+    assert parse_srcset(None) == []
+
+
+def test_srcset_rewrite_preserves_descriptors():
+    from web_archive_downloader_spark.content.extract import (
+        _parse,
+        rewrite_asset_links,
+    )
+
+    html = '<div><img src="/a.png" srcset="/a-2x.png 2x, /missing.png 3x"></div>'
+    saved = {
+        "https://example.com/a.png": "output/page/_assets/img/a.png",
+        "https://example.com/a-2x.png": "output/page/_assets/img/a-2x.png",
+    }
+    soup = rewrite_asset_links(
+        _parse(html), "https://example.com/page", "output/page", saved
+    )
+    img = soup.find("img")
+    assert img["src"] == "_assets/img/a.png"
+    assert img["srcset"] == "_assets/img/a-2x.png 2x, /missing.png 3x"

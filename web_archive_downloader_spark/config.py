@@ -125,6 +125,12 @@ class EngineConfig:
     # the pacer's per-host floor is a STRICT global guarantee — at the
     # cost of serializing single-domain crawls onto one task.
     fetch_colocate_hosts: bool = False
+    # Collect (and rewrite) <img>/<source> srcset candidate URLs as
+    # image assets. The reference left this as an explicit TODO
+    # (html_processor.py:63,144), so it defaults OFF for
+    # byte-equality runs; responsive-image corpora turn it on to
+    # capture every resolution variant.
+    include_srcset: bool = False
     # CDX feed provenance (F2/F3 null semantics, sources/cdx.py):
     # True = feed was server-filtered upstream, null status/mimetype
     # rows pass; False = mixed feed, nulls drop (strict 200+text/html).

@@ -77,6 +77,17 @@ def find_assets(html_content: str | None, original_page_url: str, config: Engine
                 abs_url = urljoin(original_page_url, src)
                 if urlparse(abs_url).netloc == target_domain:
                     found["img"].add(abs_url)
+        if getattr(config, "include_srcset", False):
+            # responsive-image variants (the reference's TODO,
+            # html_processor.py:63): every srcset candidate is an
+            # image asset, same F7/F8 gating as img@src
+            for tag in soup.find_all(["img", "source"], srcset=True):
+                for cand in parse_srcset(tag.get("srcset")):
+                    if cand.startswith("data:"):
+                        continue
+                    abs_url = urljoin(original_page_url, cand)
+                    if urlparse(abs_url).netloc == target_domain:
+                        found["img"].add(abs_url)
     except Exception:
         pass  # return whatever was found (html_processor.py:65-67)
     return {k: sorted(v) for k, v in found.items()}
@@ -124,11 +135,60 @@ def find_main_content(soup, selectors) -> object | None:
 
 # --- Link rewrite (html_processor.py:121-173) ---
 
+def parse_srcset(value: str | None) -> list[str]:
+    """Candidate URLs of a srcset attribute, in document order.
+    Each candidate is '<url> [<descriptor>]'; the url is the first
+    whitespace-delimited token. Candidates are split on a comma
+    FOLLOWED BY WHITESPACE (the universal authored form), which keeps
+    commas inside data URIs ('...;base64,xxx 2x') attached to their
+    candidate; a srcset authored with bare un-spaced commas between
+    candidates merges them (documented limitation). Empty candidates
+    drop."""
+    import re
+
+    if not value:
+        return []
+    out = []
+    for cand in re.split(r",\s+", value):
+        parts = cand.strip().split()
+        if parts and parts[0] and parts[0] != ",":
+            out.append(parts[0].rstrip(","))
+    return out
+
+
+def _rewrite_srcset_value(value: str, original_url: str, page_save_dir: str, saved_assets_map: dict[str, str]) -> str:
+    """Rebuild a srcset string with saved candidate urls swapped for
+    their local relative paths, descriptors preserved. Candidate
+    splitting matches parse_srcset (comma + whitespace)."""
+    import re
+
+    rebuilt = []
+    for cand in re.split(r",\s+", value):
+        parts = cand.strip().split()
+        if parts and parts[0]:
+            abs_url = urljoin(original_url, parts[0])
+            if abs_url in saved_assets_map:
+                try:
+                    parts[0] = posixpath.relpath(
+                        saved_assets_map[abs_url], start=page_save_dir
+                    )
+                except ValueError:
+                    pass
+        if parts:
+            rebuilt.append(" ".join(parts))
+    return ", ".join(rebuilt)
+
+
 def rewrite_asset_links(content_soup, original_url: str, page_save_dir: str, saved_assets_map: dict[str, str]):
-    """Rewrite script@src / link@href / img@src to paths relative to the
-    page dir for assets present in saved_assets_map; others untouched."""
+    """Rewrite script@src / link@href / img@src (and srcset candidate
+    urls, when present in the map) to paths relative to the page dir
+    for assets present in saved_assets_map; others untouched."""
     if not page_save_dir or not saved_assets_map:
         return content_soup
+    for tag in content_soup.find_all(["img", "source"], srcset=True):
+        tag["srcset"] = _rewrite_srcset_value(
+            tag.get("srcset"), original_url, page_save_dir, saved_assets_map
+        )
     for tag in content_soup.find_all(["script", "link", "img"]):
         attr = None
         if tag.name == "script" and tag.has_attr("src"):

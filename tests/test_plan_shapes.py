@@ -196,3 +196,20 @@ def test_range_join_boundaries_exact(spark):
         ).collect()
     )
     assert got == [1, 4, 5]
+
+
+def test_phash_and_ivf_plans_are_blocked_equi_joins(spark):
+    """phash_pairs: pigeonhole candidates form via an equi-join on
+    (chunk, key) — never a cartesian over images. ann_ivf_topk: the
+    probe is an equi-join on cluster id with literal-centroid argmin
+    assignment in the projection — no ML stage, no cartesian, no
+    Python in the relational path (the cosine/distance folds are
+    Catalyst higher-order functions)."""
+    for name in ("phash_pairs", "ann_ivf_topk"):
+        plan = _plan(entry_mod.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        ), name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -12,6 +12,8 @@ oracle instead.
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -526,7 +528,8 @@ def _q_ann_lsh_topk(spark, sf):
     )
 
 
-def _ivf_centroids(sf_dir: str, n_clusters: int = 16, iters: int = 5) -> list:
+@functools.lru_cache(maxsize=8)
+def _ivf_centroids(sf_dir: str, n_clusters: int = 16, iters: int = 5) -> tuple:
     """Deterministic IVF codebook shared by the engine query and the
     DuckDB twin: plain Lloyd's in numpy float64 over the vec_id-sorted
     embeddings, init = first n_clusters vectors (no RNG). Both sides
@@ -534,7 +537,9 @@ def _ivf_centroids(sf_dir: str, n_clusters: int = 16, iters: int = 5) -> list:
     only requires the (shared, literal) inputs — the per-row
     assignment argmin is recomputed in each engine with the same
     left-to-right fold. Production analog: codebooks are trained
-    offline and shipped to the job as data."""
+    offline and shipped to the job as data. Memoized (lru_cache) so
+    repeated queries()/oracle_sql() calls pay the read+Lloyd's once
+    per corpus; returns a tuple-of-tuples for hashability."""
     import duckdb as _dd
     import numpy as _np
 
@@ -550,7 +555,7 @@ def _ivf_centroids(sf_dir: str, n_clusters: int = 16, iters: int = 5) -> list:
             members = X[a == j]
             if len(members):
                 C[j] = members.mean(0)
-    return C.tolist()
+    return tuple(tuple(row) for row in C.tolist())
 
 
 def _q_ann_ivf_topk(spark, sf):
@@ -1183,7 +1188,16 @@ def _ivf_sql(k: int = 10, n_probe: int = 3) -> str:
     probe lists, exact cosine + per-query rank."""
     from web_archive_downloader_spark.operators.dedup import NEARDUP_DIM
 
-    cents = _ivf_centroids("/root/testdata/sf0.01")
+    # The twin is defined at the DRIVER'S check corpus (the tables its
+    # DuckDB views point at — sf0.01 per the harness contract;
+    # override with SPARK_GRAFT_ORACLE_SF for a different oracle dir).
+    # At any other sf the ENGINE query stays self-consistent (it
+    # derives its codebook from the corpus it is given); only this
+    # twin is bound to the checked corpus — same binding as every
+    # other oracle_sql() entry, which the driver runs at sf0.01 only.
+    cents = _ivf_centroids(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    )
     rows = []
     for ci, c in enumerate(cents):
         vals = ", ".join(repr(x) for x in c)

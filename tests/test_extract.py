@@ -172,3 +172,23 @@ def test_srcset_rewrite_preserves_descriptors():
     img = soup.find("img")
     assert img["src"] == "_assets/img/a.png"
     assert img["srcset"] == "_assets/img/a-2x.png 2x, /missing.png 3x"
+
+
+def test_srcset_untouched_when_no_candidate_saved():
+    """include_srcset off (or no srcset candidate in the saved map):
+    the attribute must pass through BYTE-UNTOUCHED — no whitespace
+    normalization of srcsets the engine is not rewriting."""
+    from web_archive_downloader_spark.content.extract import (
+        _parse,
+        rewrite_asset_links,
+    )
+
+    raw = "/b.png   2x,\n/c.png 3x"
+    html = f'<div><img src="/a.png" srcset="{raw}"></div>'
+    saved = {"https://example.com/a.png": "output/page/_assets/img/a.png"}
+    soup = rewrite_asset_links(
+        _parse(html), "https://example.com/page", "output/page", saved
+    )
+    img = soup.find("img")
+    assert img["src"] == "_assets/img/a.png"   # src rewrite still applies
+    assert img["srcset"] == raw                # srcset bytes untouched

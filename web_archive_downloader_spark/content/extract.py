@@ -135,15 +135,17 @@ def find_main_content(soup, selectors) -> object | None:
 
 # --- Link rewrite (html_processor.py:121-173) ---
 
-def parse_srcset(value: str | None) -> list[str]:
-    """Candidate URLs of a srcset attribute, in document order.
-    Each candidate is '<url> [<descriptor>]'; the url is the first
-    whitespace-delimited token. Candidates are split on a comma
+def _srcset_tokens(value: str | None) -> list[tuple[list[str], str]]:
+    """THE srcset tokenizer (single source of truth for collection AND
+    rewrite — two inline splitters would drift). Yields
+    (candidate_parts, cleaned_url) per candidate, where
+    candidate_parts is the whitespace-split candidate and cleaned_url
+    its first token stripped of separator-artifact commas ('' when
+    the candidate has no usable url). Candidates split on a comma
     FOLLOWED BY WHITESPACE (the universal authored form), which keeps
     commas inside data URIs ('...;base64,xxx 2x') attached to their
     candidate; a srcset authored with bare un-spaced commas between
-    candidates merges them (documented limitation). Empty candidates
-    drop."""
+    candidates merges them (documented limitation)."""
     import re
 
     if not value:
@@ -151,32 +153,46 @@ def parse_srcset(value: str | None) -> list[str]:
     out = []
     for cand in re.split(r",\s+", value):
         parts = cand.strip().split()
-        if parts and parts[0] and parts[0] != ",":
-            out.append(parts[0].rstrip(","))
+        url = (
+            parts[0].rstrip(",")
+            if parts and parts[0] and parts[0] != ","
+            else ""
+        )
+        out.append((parts, url))
     return out
 
 
-def _rewrite_srcset_value(value: str, original_url: str, page_save_dir: str, saved_assets_map: dict[str, str]) -> str:
-    """Rebuild a srcset string with saved candidate urls swapped for
-    their local relative paths, descriptors preserved. Candidate
-    splitting matches parse_srcset (comma + whitespace)."""
-    import re
+def parse_srcset(value: str | None) -> list[str]:
+    """Candidate URLs of a srcset attribute, in document order.
+    Each candidate is '<url> [<descriptor>]'; see _srcset_tokens for
+    the splitting rules."""
+    return [url for _, url in _srcset_tokens(value) if url]
 
+
+def _rewrite_srcset_value(value: str, original_url: str, page_save_dir: str, saved_assets_map: dict[str, str]) -> str | None:
+    """Rebuild a srcset string with saved candidate urls swapped for
+    their local relative paths, descriptors preserved. Returns None
+    when NO candidate resolves in the map — callers leave the
+    attribute byte-untouched (no whitespace normalization of srcsets
+    the engine is not rewriting; with include_srcset off the map
+    holds no srcset-only urls, so pages pass through unmodified)."""
+    changed = False
     rebuilt = []
-    for cand in re.split(r",\s+", value):
-        parts = cand.strip().split()
-        if parts and parts[0]:
-            abs_url = urljoin(original_url, parts[0])
+    for parts, url in _srcset_tokens(value):
+        if url:
+            abs_url = urljoin(original_url, url)
             if abs_url in saved_assets_map:
                 try:
-                    parts[0] = posixpath.relpath(
+                    rel = posixpath.relpath(
                         saved_assets_map[abs_url], start=page_save_dir
                     )
+                    parts = [rel] + parts[1:]
+                    changed = True
                 except ValueError:
                     pass
         if parts:
             rebuilt.append(" ".join(parts))
-    return ", ".join(rebuilt)
+    return ", ".join(rebuilt) if changed else None
 
 
 def rewrite_asset_links(content_soup, original_url: str, page_save_dir: str, saved_assets_map: dict[str, str]):
@@ -186,9 +202,11 @@ def rewrite_asset_links(content_soup, original_url: str, page_save_dir: str, sav
     if not page_save_dir or not saved_assets_map:
         return content_soup
     for tag in content_soup.find_all(["img", "source"], srcset=True):
-        tag["srcset"] = _rewrite_srcset_value(
+        new_val = _rewrite_srcset_value(
             tag.get("srcset"), original_url, page_save_dir, saved_assets_map
         )
+        if new_val is not None:  # None = no saved candidate, leave bytes alone
+            tag["srcset"] = new_val
     for tag in content_soup.find_all(["script", "link", "img"]):
         attr = None
         if tag.name == "script" and tag.has_attr("src"):

@@ -57,11 +57,26 @@ def range_join(
     if not lower_micros < upper_micros:
         raise ValueError("range_join needs lower_micros < upper_micros")
     w = upper_micros - lower_micros
-    # NTZ columns cast through "timestamp" (session-tz shift is a
-    # CONSTANT offset on both sides, so window membership — a
-    # difference — is unaffected)
-    lm = F.unix_micros(F.col(left_ts).cast("timestamp"))
-    rm = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    def _micros(df: DataFrame, colname: str):
+        """Epoch-microseconds of a timestamp column. TIMESTAMP (an
+        instant) uses unix_micros directly. TIMESTAMP_NTZ is pure
+        WALL-CLOCK arithmetic (interval since the NTZ epoch, cast
+        through decimal for exact microseconds) — never a cast
+        through the session timezone, whose DST transitions would
+        stretch/compress window membership for timestamps straddling
+        them (and diverge from naive-timestamp INTERVAL arithmetic,
+        e.g. the DuckDB oracle twin)."""
+        dtype = dict(df.dtypes)[colname]
+        if dtype.startswith("timestamp_ntz"):
+            return F.expr(
+                f"cast(cast(`{colname}` - TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+                " as decimal(30,6)) * 1000000 as long)"
+            )
+        return F.unix_micros(F.col(colname))
+
+    lm = _micros(left, left_ts)
+    rm = _micros(right, right_ts)
     # floor division that is a true floor for negative values too
     # (pre-1970 timestamps): Spark's `div` truncates toward zero.
     # The long/long division goes through double: exact for

@@ -40,6 +40,8 @@ HEADLINE = [
     "token_counts",
     "volume_shipping",
     "click_attribution",
+    "similarity_pairs",
+    "sequence_packing",
 ]
 
 # Per-query repeats: the host is shared and bursty, so single-shot

@@ -319,3 +319,52 @@ def test_asof_passthrough_no_duplication(spark):
     by_t = {r.t: (r.asof_rid, r.note) for r in out}
     assert by_t[5] == (50, "x")
     assert by_t[9] == (51, "y")
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """First-fit-with-reset packing: packs never exceed the budget
+    unless a SINGLE oversize doc occupies its own (overflowing) pack;
+    visit order within a shard is doc_id order; pack_pos counts from 0
+    per pack."""
+    from web_archive_downloader_spark.operators.packing import (
+        pack_sequences,
+        pack_summary,
+    )
+
+    # one shard (n_shards=1): tokens 100,100,100 -> pack0 holds 2
+    # (200<=256), third opens pack1; then a 300-token oversize doc goes
+    # ALONE into pack2 (overflow); then 10,10 continue in pack3? no —
+    # oversize closes pack1 (100+300>256), occupies pack2 alone
+    # (overflow), and the next 10 opens pack3 (100? no: 300+10>256).
+    rows = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3, 4, 5], "n_tokens": [100, 100, 100, 300, 10, 10]}
+    )
+    out = pack_sequences(spark.createDataFrame(rows), budget=256, n_shards=1)
+    got = {r.doc_id: (r.pack_id, r.pack_pos) for r in out.collect()}
+    assert got == {
+        0: (0, 0), 1: (0, 1),     # 200 <= 256
+        2: (1, 0),                # 300 > 256 -> reset
+        3: (2, 0),                # 100+300 > 256 -> oversize alone
+        4: (3, 0), 5: (3, 1),     # 300+10 > 256 -> reset; 10+10 fits
+    }
+    summ = {r.pack_id: (r.n_docs, r.pack_tokens, r.overflow)
+            for r in pack_summary(
+                pack_sequences(spark.createDataFrame(rows), budget=256, n_shards=1),
+                budget=256,
+            ).collect()}
+    assert summ[2] == (1, 300, True)   # the oversize pack is flagged
+    assert summ[0] == (2, 200, False)
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """Pack assignment is a pure function of (doc_id, n_tokens) — the
+    same input at a different parallelism/partitioning yields the
+    identical assignment (the determinism contract a resumable trainer
+    pipeline needs)."""
+    from web_archive_downloader_spark.operators.packing import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": list(range(200)),
+                        "n_tokens": [(7 * i) % 90 + 1 for i in range(200)]})
+    a = pack_sequences(spark.createDataFrame(pdf).repartition(1), 128, n_shards=4)
+    b = pack_sequences(spark.createDataFrame(pdf).repartition(13), 128, n_shards=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

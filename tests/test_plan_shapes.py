@@ -111,12 +111,28 @@ def test_global_topk_is_take_ordered(spark):
     """Global top-k must compile to TakeOrderedAndProject
     (per-partition top-k + merge), not a single-partition global
     sort window."""
-    for name in ("top_customers",):
+    for name in ("shipping_priority",):
         q = entry_mod.queries()[name](spark, SF)
         plan = _plan(q)
         assert "TakeOrderedAndProject" in plan, name
     plan = _plan(entry_mod.entry(spark))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """The packer must cost exactly ONE exchange (the shard hash
+    partitioning feeding applyInPandas); token counts ride the scan
+    projection, never a second shuffle."""
+    q = entry_mod.queries()["sequence_packing"](spark, SF)
+    import re
+
+    # formatted explain prints each node twice (tree line + detail
+    # header) and AQE can append an initial-plan section — count only
+    # the tree lines of the final plan
+    plan = _plan(q).split("== Initial Plan ==")[0]
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"- Exchange", tree)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_ann_bruteforce_rank_is_prereduced(spark):

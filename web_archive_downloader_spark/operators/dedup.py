@@ -234,6 +234,58 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, n: int = 2) -> D
     )
 
 
+def similarity_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    sig: DataFrame,
+    k: int,
+    n: int = 2,
+) -> DataFrame:
+    """All three candidate-ranking similarities in ONE pass:
+    (doc_a, doc_b, jaccard, ngram_jaccard, jaccard_est).
+
+    Consolidates what were three separate checked queries
+    (jaccard_pairs / ngram_jaccard / minhash_jaccard_estimate) — same
+    blocked candidate set, but ONE pair of per-side joins instead of
+    three: each doc's row carries (token set, n-gram shingle set,
+    minhash signature) together, so at 100 TB the candidate relation is
+    joined twice (a-side, b-side) total rather than six times, and the
+    doc-feature relation is scanned once. The three measures fold
+    JVM-side (array_intersect/union + zip_with/aggregate).
+    """
+    feats = docs.select(
+        "doc_id",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+        ngram_shingles_col(F.col("text"), n).alias("sh"),
+    ).join(sig.select("doc_id", "sig"), "doc_id")
+    a = feats.alias("a")
+    b = feats.alias("b")
+    agree = F.aggregate(
+        F.zip_with("a.sig", "b.sig", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+    def _jac(left, right):
+        return F.round(
+            F.size(F.array_intersect(left, right)).cast("double")
+            / F.size(F.array_union(left, right)),
+            6,
+        )
+
+    return (
+        candidates.join(a, candidates.doc_a == F.col("a.doc_id"))
+        .join(b, candidates.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _jac(F.col("a.toks"), F.col("b.toks")).alias("jaccard"),
+            _jac(F.col("a.sh"), F.col("b.sh")).alias("ngram_jaccard"),
+            F.round(agree.cast("double") / k, 6).alias("jaccard_est"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-bit majority over token hashes.
 

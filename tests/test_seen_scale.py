@@ -409,3 +409,72 @@ def test_full_j1_chain_plan_shape(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         store.destroy()
+
+
+def test_p_change_resume_rebuilds_bloom_within_one_epoch(spark, tmp_path):
+    """Round-4 verdict task 3: a resume with a CHANGED seen_partitions
+    finds P-mismatched sketches, runs the exact anti-join for that ONE
+    epoch, and the forced bucketize+rebuild restores the Bloom
+    prefilter at the new P for every following epoch — never
+    exact-mode-forever — with outputs identical to an unchanged-P run
+    (the oracle)."""
+    from web_archive_downloader_spark.operators.seen import sketch_stats
+
+    raw = gen_cdx_records(n_urls=60, seed=23)
+    cfg8 = default_config(epoch_seconds=20.0, max_retries=2, seen_partitions=8)
+    oracle = run_oracle(raw, cfg8)
+
+    store = StateStore(str(tmp_path / "pc"), spark)
+    CrawlPlan(spark, store, cfg8).run(cdx_dataframe(spark, raw), max_epochs=2)
+    assert store.last_epoch == 1  # crawl genuinely unfinished
+
+    # resume with P changed 8 -> 4: the persisted sketches' stamped
+    # build-time P no longer matches
+    cfg4 = default_config(epoch_seconds=20.0, max_retries=2, seen_partitions=4)
+    plan2 = CrawlPlan(spark, store, cfg4)
+    plan2.run(cdx_dataframe(spark, raw), max_epochs=3, resume=True)
+    assert plan2.last_bloom_mode == "exact"  # the one detection epoch
+    # the forced bucketize fired and the rebuilt sketch set is clean at
+    # the new P
+    assert store._bucketed_gens(store.read_manifest(), "url_seen")
+    st = sketch_stats(store.read("bloom", plan2._bloom_schema()), 4)
+    assert st["n"] > 0 and st["bad"] == 0
+
+    # the very next epoch is back on the prefilter
+    plan2.run(cdx_dataframe(spark, raw), max_epochs=4, resume=True)
+    assert plan2.last_bloom_mode in ("broadcast", "cogroup")
+
+    # run out; outputs identical to the unchanged-P oracle
+    plan2.run(cdx_dataframe(spark, raw), resume=True)
+    order = [
+        r.url
+        for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
+    ]
+    assert order == oracle.crawl_order
+    seen = [
+        r.url
+        for r in store.read("url_seen", URL_SEEN_SCHEMA).orderBy("seq").collect()
+    ]
+    assert seen == oracle.seen
+    store.destroy()
+
+
+def test_bucketize_empty_delta_honors_geometry_change(spark, tmp_path):
+    """ADVICE r4: bucketize with NO pending deltas must still
+    re-bucketize when the requested buckets/key differ from the
+    existing chain's — a seen_partitions config change takes effect
+    immediately, not silently on the next delta-carrying call."""
+    store = StateStore(str(tmp_path / "gm"), spark)
+    store.commit(0, {"url_seen": store.stage("url_seen", 0, _seen_df(spark, 0, 500))})
+    n1 = store.bucketize("url_seen", buckets=8)
+    # no new deltas; same geometry -> no-op returning the newest gen
+    assert store.bucketize("url_seen", buckets=8) == n1
+    # no new deltas; CHANGED buckets -> merged re-bucketize now
+    n2 = store.bucketize("url_seen", buckets=4)
+    assert n2 != n1
+    manifest = store.read_manifest()
+    gens = store._bucketed_gens(manifest, "url_seen")
+    assert [g["name"] for g in gens] == [n2]
+    assert gens[0]["buckets"] == 4
+    assert spark.table(n2).count() == 500
+    store.destroy()

@@ -263,6 +263,8 @@ class CrawlPlan:
             stats=self._cached_bloom_stats(sketch_df),
         )
         unseen = unseen.cache()
+        # observable for tests/ops: which J1 probe mode this epoch ran
+        self.last_bloom_mode = bloom_mode
         t0 = mark(f"bloom_{bloom_mode}", t0)
 
         sched = per_host_topk(
@@ -921,7 +923,20 @@ class CrawlPlan:
         # unbucketed O(seen) anti-join + unbounded dir listings, while
         # short test crawls (which need rollback, foreclosed by the
         # merge floor) never trigger either.
+        # Seed the AUTO-bucketize counter from the PERSISTED
+        # unbucketized delta, not 0: a crawl resumed after a crash must
+        # count the deltas accumulated before the restart, or repeated
+        # restarts could keep the delta above auto_bucketize_min_rows
+        # indefinitely without ever bucketizing. One O(delta) count at
+        # run() entry, auto mode only (the delta is bounded by the
+        # threshold itself plus one epoch, so this stays cheap).
         rows_since_bucketize = 0
+        if bucketize_every is None and store.last_epoch >= 0:
+            try:
+                _, seen_delta = store.read_parts("url_seen")
+                rows_since_bucketize = seen_delta.count()
+            except ValueError:
+                pass  # table not created yet (no committed epochs)
         for epoch in range(start_epoch, max_epochs):
             if inbox_dir:
                 # continuous ingestion: drain streaming feed batches
@@ -933,7 +948,17 @@ class CrawlPlan:
             stats.epochs += 1
             stats.scheduled += n
             rows_since_bucketize += n
-            do_bucketize = (
+            # bad sketch state (foreign version / build-time P !=
+            # cfg.seen_partitions) forces an immediate bucketize+bloom
+            # rebuild: J1 pays exact-anti-join mode for exactly the ONE
+            # epoch that detected it, never for the rest of the crawl
+            # (an explicit bucketize_every=0 = "never" — e.g. rollback
+            # tests — is respected: the floor a forced bucketize sets
+            # would foreclose truncate_to_epoch)
+            bad_sketches = bucketize_every != 0 and bool(
+                self._bloom_stats and self._bloom_stats.get("bad")
+            )
+            do_bucketize = bad_sketches or (
                 bucketize_every and (epoch + 1) % bucketize_every == 0
             ) or (
                 bucketize_every is None
@@ -945,11 +970,32 @@ class CrawlPlan:
                 # anti-join is storage-partitioned (big side never
                 # shuffles). Bloom keeps covering the merged rows;
                 # compact keeps the packed dir list bounded.
+                rebuild_bloom = bool(
+                    self._bloom_stats and self._bloom_stats.get("bad")
+                )
                 store.bucketize(
                     "url_seen",
                     buckets=cfg.seen_partitions,
                     merge_at=cfg.bucketize_merge_generations,
                 )
+                if rebuild_bloom:
+                    # the epoch's sketches were unusable (foreign probe
+                    # version or a build-time partition count differing
+                    # from cfg.seen_partitions — e.g. a resume with
+                    # changed seen_partitions), so J1 has been paying
+                    # exact-anti-join mode. Rebuild the WHOLE sketch set
+                    # at the current P from the just-bucketized seen set
+                    # — the one O(seen) pass, ridden on the bucketize
+                    # epoch — so the next epoch's probe returns to
+                    # broadcast/cogroup mode instead of exact forever.
+                    self.store.replace_bloom(
+                        build_bloom_sketches(
+                            store.read("url_seen").select("url"),
+                            cfg.seen_partitions,
+                            expected_per_partition=4096,
+                            fpp=cfg.bloom_fpp,
+                        )
+                    )
                 store.compact("__state__")
                 self._bloom_stats = None
                 rows_since_bucketize = 0

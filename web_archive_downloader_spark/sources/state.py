@@ -279,24 +279,38 @@ class StateStore:
             delta_parts.append(self.spark.read.parquet(*paths))
         if packed is not None:
             delta_parts.append(packed)
-        if not delta_parts:
-            if gens:
-                return gens[-1]["name"]  # nothing new to merge
-            raise ValueError(f"bucketize: table {table} is empty")
-        df = delta_parts[0]
-        for p in delta_parts[1:]:
-            df = df.unionByName(p)
-        epoch = manifest["epoch"]
-        merging = len(gens) + 1 > merge_at or any(
+        geometry_mismatch = any(
             g["buckets"] != buckets or g["key"] != key for g in gens
         )
+        if not delta_parts:
+            if not gens:
+                raise ValueError(f"bucketize: table {table} is empty")
+            if not geometry_mismatch:
+                return gens[-1]["name"]  # nothing new to merge
+            # empty delta but the REQUESTED geometry differs from the
+            # chain's: a seen_partitions config change must re-bucketize
+            # NOW, not silently wait for the next delta-carrying call
+            df = None
+        else:
+            df = delta_parts[0]
+            for p in delta_parts[1:]:
+                df = df.unionByName(p)
+        epoch = manifest["epoch"]
+        merging = len(gens) + len(delta_parts[:1]) > merge_at or geometry_mismatch
         if merging:
             for g in gens:
-                df = df.unionByName(self.spark.table(g["name"]))
-        name = (
-            f"wad_{self._ident}_{table}_b{max(epoch, 0)}"
-            f"g{0 if merging else len(gens) + 1}"
-        )
+                base = self.spark.table(g["name"])
+                df = base if df is None else df.unionByName(base)
+        gen_no = 0 if merging else len(gens) + 1
+        existing = {g["name"] for g in gens}
+        while True:
+            name = f"wad_{self._ident}_{table}_b{max(epoch, 0)}g{gen_no}"
+            if name not in existing:
+                break
+            # a geometry-change merge at the same epoch as a prior merge
+            # would reuse the prior generation's name — overwriting a
+            # table the merge is reading FROM; bump until fresh
+            gen_no += 1
         (
             df.write.mode("overwrite")
             .format("parquet")
@@ -323,6 +337,41 @@ class StateStore:
         for p in paths:
             shutil.rmtree(p, ignore_errors=True)
         return name
+
+    def replace_bloom(self, sketches: DataFrame) -> None:
+        """Replace ALL persisted bloom sketch state with ``sketches``
+        (the partition-count-change rebuild, round-4 verdict item 3):
+        stage the rebuilt sketch rows as a fresh standalone bloom dir,
+        rewrite the packed state dirs WITHOUT their old bloom member
+        rows, and publish both in one atomic manifest swap — readers
+        see either the complete old sketch set or the complete new
+        one, never a mix (a mix could pair new-P and old-P sketches,
+        re-introducing the false-negative risk the rebuild removes).
+        Like compaction, the rewrite forecloses rollback past this
+        point (compaction_floor on the packed table)."""
+        manifest = self.read_manifest()
+        epoch = manifest["epoch"]
+        new_path = os.path.join(self.root, "bloom", f"rebuilt={epoch}")
+        sketches.write.mode("overwrite").parquet(new_path)
+        old_bloom = manifest["tables"].get("bloom", [])
+        packed_paths = manifest["tables"].get(PACKED, [])
+        new_packed: list[str] = []
+        if packed_paths:
+            rest = self.spark.read.schema(_PACKED_SCHEMA).parquet(
+                *packed_paths
+            ).filter(F.col("_table") != "bloom")
+            packed_path = os.path.join(self.root, PACKED, f"rebloom={epoch}")
+            rest.write.mode("overwrite").parquet(packed_path)
+            new_packed = [packed_path]
+        manifest["tables"]["bloom"] = [new_path]
+        if packed_paths:
+            manifest["tables"][PACKED] = new_packed
+            manifest.setdefault("compaction_floor", {})[PACKED] = epoch
+        self._write_manifest(manifest)  # atomic swap
+        keep = {new_path, *new_packed}
+        for p in old_bloom + packed_paths:
+            if p not in keep:  # a same-epoch re-rebuild reuses the dir
+                shutil.rmtree(p, ignore_errors=True)
 
     def read_latest_only(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         """For tables where each epoch REPLACES state (e.g. frontier)."""

@@ -167,7 +167,8 @@ def test_srcset_rewrite_preserves_descriptors():
         "https://example.com/a-2x.png": "output/page/_assets/img/a-2x.png",
     }
     soup = rewrite_asset_links(
-        _parse(html), "https://example.com/page", "output/page", saved
+        _parse(html), "https://example.com/page", "output/page", saved,
+        include_srcset=True,
     )
     img = soup.find("img")
     assert img["src"] == "_assets/img/a.png"
@@ -192,3 +193,70 @@ def test_srcset_untouched_when_no_candidate_saved():
     img = soup.find("img")
     assert img["src"] == "_assets/img/a.png"   # src rewrite still applies
     assert img["srcset"] == raw                # srcset bytes untouched
+
+def test_srcset_rewrite_gated_on_flag_even_when_url_aliased():
+    """ADVICE r4: a url present as BOTH img@src and a srcset candidate
+    is in the saved map — with include_srcset OFF the srcset must
+    still pass through byte-untouched (previously the map drove the
+    rewrite and the aliased candidate was rewritten)."""
+    from web_archive_downloader_spark.content.extract import (
+        _parse,
+        rewrite_asset_links,
+    )
+
+    raw = "/a.png 1x, /a-2x.png 2x"
+    html = f'<div><img src="/a.png" srcset="{raw}"></div>'
+    saved = {"https://example.com/a.png": "output/page/_assets/img/a.png"}
+    soup = rewrite_asset_links(
+        _parse(html), "https://example.com/page", "output/page", saved
+    )
+    img = soup.find("img")
+    assert img["src"] == "_assets/img/a.png"
+    assert img["srcset"] == raw  # feature off: bytes untouched
+    # feature ON: the aliased candidate IS rewritten
+    soup2 = rewrite_asset_links(
+        _parse(html), "https://example.com/page", "output/page", saved,
+        include_srcset=True,
+    )
+    assert soup2.find("img")["srcset"] == "_assets/img/a.png 1x, /a-2x.png 2x"
+
+
+def test_srcset_whatwg_candidate_scan():
+    """The tokenizer follows the WHATWG 'parse a srcset attribute'
+    scan (replacing the comma-then-whitespace regex): whitespace
+    BEFORE the comma splits, trailing commas strip, data-URI commas
+    stay attached (with and without a descriptor), parenthesized
+    descriptor commas don't split, and — per the same spec — a bare
+    un-spaced comma inside a token is part of the url (what browsers
+    parse)."""
+    from web_archive_downloader_spark.content.extract import (
+        _srcset_tokens,
+        parse_srcset,
+    )
+
+    # whitespace before the comma (previously lost b.jpg)
+    assert parse_srcset("a.jpg ,b.jpg") == ["a.jpg", "b.jpg"]
+    assert parse_srcset("a.jpg , b.jpg") == ["a.jpg", "b.jpg"]
+    # trailing commas on the url token terminate + strip
+    assert parse_srcset("a.jpg,, b.jpg 2x,") == ["a.jpg", "b.jpg"]
+    # data-URI comma mid-token stays attached — descriptor present
+    assert parse_srcset("data:image/gif;base64,AAA 2x, b.jpg") == [
+        "data:image/gif;base64,AAA", "b.jpg",
+    ]
+    # ...and when the data URI has NO descriptor, its trailing
+    # separator comma still splits correctly
+    assert parse_srcset("data:image/gif;base64,AAA, b.jpg") == [
+        "data:image/gif;base64,AAA", "b.jpg",
+    ]
+    # spec paren state: a comma inside a (future-syntax) parenthesized
+    # descriptor does not split candidates
+    toks = _srcset_tokens("a.jpg calc(1x,2x) extra, b.jpg 2x")
+    assert [u for _, u in toks] == ["a.jpg", "b.jpg"]
+    assert toks[0][0] == ["a.jpg", "calc(1x,2x)", "extra"]
+    # bare un-spaced comma INSIDE a token: one url, per spec
+    assert parse_srcset("a.jpg,b.jpg") == ["a.jpg,b.jpg"]
+    # descriptors preserved for the rewrite path
+    assert _srcset_tokens("/x.png 2x, /y.png") == [
+        (["/x.png", "2x"], "/x.png"),
+        (["/y.png"], "/y.png"),
+    ]

@@ -135,30 +135,72 @@ def find_main_content(soup, selectors) -> object | None:
 
 # --- Link rewrite (html_processor.py:121-173) ---
 
+_SRCSET_WS = " \t\n\r\x0c"
+
+
 def _srcset_tokens(value: str | None) -> list[tuple[list[str], str]]:
     """THE srcset tokenizer (single source of truth for collection AND
     rewrite — two inline splitters would drift). Yields
-    (candidate_parts, cleaned_url) per candidate, where
-    candidate_parts is the whitespace-split candidate and cleaned_url
-    its first token stripped of separator-artifact commas ('' when
-    the candidate has no usable url). Candidates split on a comma
-    FOLLOWED BY WHITESPACE (the universal authored form), which keeps
-    commas inside data URIs ('...;base64,xxx 2x') attached to their
-    candidate; a srcset authored with bare un-spaced commas between
-    candidates merges them (documented limitation)."""
-    import re
+    (candidate_parts, url) per candidate, where candidate_parts is
+    [url, descriptor, ...] and url is '' when the candidate has no
+    usable url.
 
+    This is the WHATWG 'parse a srcset attribute' candidate scan
+    (replacing the old comma-followed-by-whitespace regex, which lost
+    the spec-legal 'a.jpg ,b.jpg' form):
+    - a url is a maximal non-whitespace run; TRAILING commas terminate
+      the candidate and are stripped (so 'a.jpg, b.jpg' and
+      'data:...;base64,AAA, b.jpg' both split correctly — data-URI
+      commas are mid-token and stay attached);
+    - a url not ending in a comma is followed by whitespace-separated
+      descriptors until a comma OUTSIDE parentheses (the spec's
+      paren state for future descriptor syntax);
+    - a comma BEFORE the url position ('a.jpg ,b.jpg') is a
+      candidate separator and is skipped.
+    Per the same spec, a bare un-spaced comma INSIDE a token
+    ('a.jpg,b.jpg') is part of the url — one candidate with url
+    'a.jpg,b.jpg', exactly what browsers parse."""
     if not value:
         return []
-    out = []
-    for cand in re.split(r",\s+", value):
-        parts = cand.strip().split()
-        url = (
-            parts[0].rstrip(",")
-            if parts and parts[0] and parts[0] != ","
-            else ""
-        )
-        out.append((parts, url))
+    out: list[tuple[list[str], str]] = []
+    i, n = 0, len(value)
+    while i < n:
+        while i < n and (value[i] in _SRCSET_WS or value[i] == ","):
+            i += 1
+        if i >= n:
+            break
+        start = i
+        while i < n and value[i] not in _SRCSET_WS:
+            i += 1
+        url = value[start:i]
+        if url.endswith(","):
+            url = url.rstrip(",")
+            parts = [url] if url else []
+        else:
+            parts = [url]
+            in_parens = False
+            while i < n:
+                while i < n and value[i] in _SRCSET_WS:
+                    i += 1
+                if i >= n or (value[i] == "," and not in_parens):
+                    break
+                dstart = i
+                while i < n:
+                    c = value[i]
+                    if in_parens:
+                        if c == ")":
+                            in_parens = False
+                        i += 1
+                    elif c == "(":
+                        in_parens = True
+                        i += 1
+                    elif c == "," or c in _SRCSET_WS:
+                        break
+                    else:
+                        i += 1
+                parts.append(value[dstart:i])
+        if parts:
+            out.append((parts, parts[0]))
     return out
 
 
@@ -174,8 +216,11 @@ def _rewrite_srcset_value(value: str, original_url: str, page_save_dir: str, sav
     their local relative paths, descriptors preserved. Returns None
     when NO candidate resolves in the map — callers leave the
     attribute byte-untouched (no whitespace normalization of srcsets
-    the engine is not rewriting; with include_srcset off the map
-    holds no srcset-only urls, so pages pass through unmodified)."""
+    the engine is not rewriting). NB a url saved because it ALSO
+    appears as img@src is in the map, so this pass must only run when
+    the config collects srcset (rewrite_asset_links gates it on
+    include_srcset) — otherwise pages with src/srcset-aliased urls
+    would have their srcset rewritten despite the feature being off."""
     changed = False
     rebuilt = []
     for parts, url in _srcset_tokens(value):
@@ -195,18 +240,29 @@ def _rewrite_srcset_value(value: str, original_url: str, page_save_dir: str, sav
     return ", ".join(rebuilt) if changed else None
 
 
-def rewrite_asset_links(content_soup, original_url: str, page_save_dir: str, saved_assets_map: dict[str, str]):
-    """Rewrite script@src / link@href / img@src (and srcset candidate
-    urls, when present in the map) to paths relative to the page dir
-    for assets present in saved_assets_map; others untouched."""
+def rewrite_asset_links(
+    content_soup,
+    original_url: str,
+    page_save_dir: str,
+    saved_assets_map: dict[str, str],
+    include_srcset: bool = False,
+):
+    """Rewrite script@src / link@href / img@src — and, when
+    ``include_srcset`` (the config flag that also gates srcset
+    COLLECTION), srcset candidate urls — to paths relative to the page
+    dir for assets present in saved_assets_map; others untouched.
+    The srcset pass must be flag-gated, not map-driven: a url saved
+    via img@src can alias a srcset candidate, and with the feature off
+    that srcset must pass through byte-identical."""
     if not page_save_dir or not saved_assets_map:
         return content_soup
-    for tag in content_soup.find_all(["img", "source"], srcset=True):
-        new_val = _rewrite_srcset_value(
-            tag.get("srcset"), original_url, page_save_dir, saved_assets_map
-        )
-        if new_val is not None:  # None = no saved candidate, leave bytes alone
-            tag["srcset"] = new_val
+    if include_srcset:
+        for tag in content_soup.find_all(["img", "source"], srcset=True):
+            new_val = _rewrite_srcset_value(
+                tag.get("srcset"), original_url, page_save_dir, saved_assets_map
+            )
+            if new_val is not None:  # None = no saved candidate, leave bytes alone
+                tag["srcset"] = new_val
     for tag in content_soup.find_all(["script", "link", "img"]):
         attr = None
         if tag.name == "script" and tag.has_attr("src"):
@@ -396,7 +452,10 @@ def extract_and_convert_content(
         if config.rewrite_asset_links and saved_assets_map:
             save_dir = page_dir(original_url, config.output_dir)
             if save_dir:
-                content = rewrite_asset_links(content, original_url, save_dir, saved_assets_map)
+                content = rewrite_asset_links(
+                    content, original_url, save_dir, saved_assets_map,
+                    include_srcset=getattr(config, "include_srcset", False),
+                )
         markdown = html_to_markdown(str(content))
         return title, markdown
     except Exception:

@@ -363,6 +363,7 @@ def finalize_markdown_stage(docs_with_assets: DataFrame, config: EngineConfig) -
         docs_with_assets.schema.fields + [T.StructField("markdown", T.StringType())]
     )
     rewrite = config.rewrite_asset_links
+    include_srcset = getattr(config, "include_srcset", False)
     output_dir = config.output_dir
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -379,7 +380,10 @@ def finalize_markdown_stage(docs_with_assets: DataFrame, config: EngineConfig) -
                     saved = json.loads(saved_json) if saved_json else {}
                     if rewrite and saved:
                         save_dir = page_dir(url, output_dir)
-                        soup = rewrite_asset_links(soup, url, save_dir, saved)
+                        soup = rewrite_asset_links(
+                            soup, url, save_dir, saved,
+                            include_srcset=include_srcset,
+                        )
                     mds.append(html_to_markdown(str(soup)))
                 except Exception:
                     mds.append(None)

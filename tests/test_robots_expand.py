@@ -96,10 +96,13 @@ def test_crawl_with_robots_matches_oracle(spark, tmp_path):
 
 
 def test_link_expansion_deterministic(spark, tmp_path):
+    # 6 links/page halves the expanded frontier vs the original 12 —
+    # the depth-1 determinism property is size-independent and the
+    # test runs the whole crawl TWICE
     raw = gen_cdx_records(n_urls=10, seed=33)
     cfg = default_config(
         epoch_seconds=120.0, expand_links=True, max_depth=1,
-        max_links_per_page=12, max_retries=1,
+        max_links_per_page=6, max_retries=1,
     )
 
     def run(path):

@@ -75,6 +75,10 @@ def pack_sequences(
     Returns (shard, pack_id, pack_pos, doc_id, n_tokens) — the
     assignment relation a writer joins back to the text/token payload
     (the payload itself never moves through the packer's shuffle).
+
+    Sharding uses pmod (always non-negative); ids are assumed
+    non-negative (crawl seqs are), where pmod and SQL's % agree —
+    the DuckDB twin relies on that.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")

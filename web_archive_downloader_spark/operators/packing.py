@@ -87,7 +87,10 @@ def pack_sequences(
     sharded = docs_with_tokens.select(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long").alias("shard"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
+        # NULL token counts (e.g. null text) pack as zero-cost docs —
+        # without the coalesce the grouped pandas column turns float64
+        # and NaN both defeats the budget check and breaks int()
+        F.coalesce(F.col("n_tokens").cast("long"), F.lit(0)).alias("n_tokens"),
     )
     return sharded.groupBy("shard").applyInPandas(
         lambda pdf: _pack_one_shard(pdf, budget), PACK_SCHEMA

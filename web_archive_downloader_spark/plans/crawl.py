@@ -194,6 +194,9 @@ class CrawlPlan:
         # plan itself writes — no per-epoch stats job. Invalidated on
         # compaction/bucketize (the table is rewritten).
         self._bloom_stats: dict | None = None
+        # last epoch's J1 probe mode ("broadcast"/"cogroup"/"exact");
+        # None until run_epoch has executed once
+        self.last_bloom_mode: str | None = None
 
     # ---- one epoch ----
     def run_epoch(self, epoch: int) -> tuple[int, int]:
@@ -932,11 +935,8 @@ class CrawlPlan:
         # threshold itself plus one epoch, so this stays cheap).
         rows_since_bucketize = 0
         if bucketize_every is None and store.last_epoch >= 0:
-            try:
-                _, seen_delta = store.read_parts("url_seen")
-                rows_since_bucketize = seen_delta.count()
-            except ValueError:
-                pass  # table not created yet (no committed epochs)
+            _, seen_delta = store.read_parts("url_seen")
+            rows_since_bucketize = seen_delta.count()
         for epoch in range(start_epoch, max_epochs):
             if inbox_dir:
                 # continuous ingestion: drain streaming feed batches

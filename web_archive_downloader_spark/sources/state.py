@@ -351,16 +351,38 @@ class StateStore:
         point (compaction_floor on the packed table)."""
         manifest = self.read_manifest()
         epoch = manifest["epoch"]
-        new_path = os.path.join(self.root, "bloom", f"rebuilt={epoch}")
-        sketches.write.mode("overwrite").parquet(new_path)
         old_bloom = manifest["tables"].get("bloom", [])
         packed_paths = manifest["tables"].get(PACKED, [])
+
+        def _fresh(table: str, stem: str) -> str:
+            # never reuse a dir the manifest still references: a
+            # same-epoch re-rebuild overwriting a dir it is lazily
+            # READING from would clobber the data mid-scan
+            taken = set(old_bloom) | set(packed_paths)
+            n = 0
+            while True:
+                suffix = f"{stem}={epoch}" + (f".{n}" if n else "")
+                path = os.path.join(self.root, table, suffix)
+                if path not in taken:
+                    return path
+                n += 1
+
+        new_path = _fresh("bloom", "rebuilt")
+        sketches.write.mode("overwrite").parquet(new_path)
         new_packed: list[str] = []
         if packed_paths:
             rest = self.spark.read.schema(_PACKED_SCHEMA).parquet(
                 *packed_paths
             ).filter(F.col("_table") != "bloom")
-            packed_path = os.path.join(self.root, PACKED, f"rebloom={epoch}")
+            # the rewrite doubles as a compaction pass: drop member
+            # rows a bucketized base has superseded (same filter
+            # compact() applies) instead of carrying them into the
+            # single new dir, where the next compact would no-op
+            for member, floor in manifest.get("packed_floor", {}).items():
+                rest = rest.filter(
+                    (F.col("_table") != member) | (F.col("epoch") > floor)
+                )
+            packed_path = _fresh(PACKED, "rebloom")
             rest.write.mode("overwrite").parquet(packed_path)
             new_packed = [packed_path]
         manifest["tables"]["bloom"] = [new_path]
@@ -368,10 +390,8 @@ class StateStore:
             manifest["tables"][PACKED] = new_packed
             manifest.setdefault("compaction_floor", {})[PACKED] = epoch
         self._write_manifest(manifest)  # atomic swap
-        keep = {new_path, *new_packed}
         for p in old_bloom + packed_paths:
-            if p not in keep:  # a same-epoch re-rebuild reuses the dir
-                shutil.rmtree(p, ignore_errors=True)
+            shutil.rmtree(p, ignore_errors=True)
 
     def read_latest_only(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         """For tables where each epoch REPLACES state (e.g. frontier)."""

@@ -684,11 +684,19 @@ def _q_markdown_header(spark, sf):
     return ev.select("event_id", markdown_header_col(title, url, ts14).alias("header"))
 
 
-def _q_json_extract(spark, sf):
-    ev = _t(spark, sf, "events")
-    return ev.select(
-        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
-    )
+def _q_decontamination(spark, sf):
+    """Test-set decontamination (operators/dedup.py
+    ngram_decontaminate): docs with doc_id % 50 == 0 stand in for the
+    evaluation corpus; every OTHER doc sharing a distinct word 5-gram
+    with it is flagged with its overlap count. Broadcast semi-join of
+    the (small) eval shingle set into the training scan — the only
+    shuffle is the per-doc hit count."""
+    from web_archive_downloader_spark.operators.dedup import ngram_decontaminate
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    tr = d.filter(F.col("doc_id") % 50 != 0)
+    return ngram_decontaminate(tr, ev, n=5)
 
 
 def _q_memento_nav(spark, sf):
@@ -924,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new / least-proven this round ---
         "sequence_packing": _q_sequence_packing,
         "similarity_pairs": _q_similarity_pairs,
+        "decontamination": _q_decontamination,
         "shipping_priority": _q_shipping_priority,
         "revenue_forecast": _q_revenue_forecast,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -974,7 +983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_dir": _q_page_dir,
         "url_parts": _q_url_parts,
         "markdown_header": _q_markdown_header,
-        "json_extract": _q_json_extract,
+        # X9 JSON decode/nested access stays checked via memento_nav
+        # (the former json_extract entry duplicated that coverage and
+        # was consolidated away to keep the registry at 50 when
+        # decontamination joined)
         "memento_nav": _q_memento_nav,
     }
 
@@ -1594,9 +1606,23 @@ def oracle_sql() -> dict[str, str]:
                    || strftime(ts, '%Y-%m-%d %H:%M:%S') || '_\\n\\n' AS header
             FROM events
         """,
-        "json_extract": """
-            SELECT event_id, json_extract_string(props, '$.k')::INT AS k
-            FROM events
+        "decontamination": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, greatest(len(t) - 3, 1)),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS sh
+              FROM toks
+            ),
+            ev AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 50 = 0)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN ev USING (sh)
+            WHERE g.doc_id % 50 != 0
+            GROUP BY g.doc_id
         """,
         "memento_nav": """
             WITH raw AS (

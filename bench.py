@@ -42,6 +42,7 @@ HEADLINE = [
     "click_attribution",
     "similarity_pairs",
     "sequence_packing",
+    "decontamination",
 ]
 
 # Per-query repeats: the host is shared and bursty, so single-shot

@@ -299,3 +299,31 @@ def test_local_topk_reduce_bounds_and_exactness(emb, spark):
             .filter(F.col("rank") <= k).collect()
         }
     assert topk(reduced) == topk(scored)
+
+
+def test_ngram_decontaminate_flags_planted_overlap(spark):
+    """A training doc containing an eval doc's exact 5-gram is
+    flagged with the right distinct-overlap count; disjoint docs are
+    not flagged."""
+    import pandas as pd
+
+    from web_archive_downloader_spark.operators.dedup import ngram_decontaminate
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["the quick brown fox jumps over it"]})
+    )
+    tr = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # contains TWO distinct eval 5-grams
+                    "note the quick brown fox jumps over something",
+                    "completely different words here entirely now",
+                    "short doc",  # < 5 tokens -> no shingles at all
+                ],
+            }
+        )
+    )
+    got = {r.doc_id: r.n_hits for r in ngram_decontaminate(tr, ev, n=5).collect()}
+    assert got == {1: 2}

@@ -229,3 +229,13 @@ def test_phash_and_ivf_plans_are_blocked_equi_joins(spark):
             "BroadcastHashJoin" in plan
         ), name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The eval shingle set must reach the training scan as a
+    broadcast hash join (benchmarks are tiny; shuffling the training
+    corpus' exploded shingles would be the scale-killer)."""
+    q = entry_mod.queries()["decontamination"](spark, SF)
+    plan = _plan(q).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

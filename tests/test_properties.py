@@ -160,3 +160,50 @@ def test_collision_replay_random_vs_oracle_fs(spark):
         r.save_seq: r.filename for r in assign_collision_names(df).collect()
     }
     assert [got[i] for i in range(120)] == expected
+
+
+# --- srcset WHATWG scan properties ---
+
+_SRCSET_ALPHABET = "abc.jpg,()x2 \t\n\x0c/:%"
+
+
+@given(st.text(alphabet=_SRCSET_ALPHABET, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_srcset_scan_total_and_lossless(value):
+    """The candidate scan terminates on arbitrary input, never yields
+    an empty candidate, every url is comma-trimmed and non-empty, and
+    every non-separator character of the input is accounted for by
+    some candidate part (nothing silently dropped mid-token)."""
+    from web_archive_downloader_spark.content.extract import _srcset_tokens
+
+    toks = _srcset_tokens(value)
+    for parts, url in toks:
+        assert parts, "empty candidate emitted"
+        assert url == parts[0]
+        assert url and not url.endswith(",")
+        for p in parts:
+            assert p and not p.isspace()
+    # conservation: every non-whitespace non-comma character of the
+    # input survives into some candidate part (nothing silently
+    # dropped mid-token). Whitespace is compared out on BOTH sides —
+    # an unclosed paren legitimately swallows whitespace into its
+    # descriptor (the spec's paren state) — and commas only disappear
+    # as separators/trailers.
+    def core(s: str) -> str:
+        for ch in " \t\n\x0c,":
+            s = s.replace(ch, "")
+        return s
+
+    consumed = "".join("".join(parts) for parts, _ in toks)
+    assert core(consumed) == core(value)
+
+
+@given(st.lists(st.from_regex(r"[a-z]{1,5}\.jpg", fullmatch=True), min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_srcset_roundtrip_on_canonical_form(urls):
+    """A canonically formatted srcset ('u1 1x, u2 2x, ...') parses to
+    exactly its urls in order."""
+    from web_archive_downloader_spark.content.extract import parse_srcset
+
+    value = ", ".join(f"{u} {i+1}x" for i, u in enumerate(urls))
+    assert parse_srcset(value) == urls

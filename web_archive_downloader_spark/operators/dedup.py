@@ -286,6 +286,38 @@ def similarity_pairs(
     )
 
 
+def ngram_decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """Test-set DECONTAMINATION: flag training documents that share
+    any word n-gram with an evaluation corpus — the leakage-removal
+    pass every production training pipeline runs before the trainer
+    sees the data. Returns (doc_id, n_hits) for contaminated docs
+    only, n_hits = number of DISTINCT overlapping n-grams.
+
+    100-TB shape: the eval corpus is small by construction (benchmarks
+    are KBs-MBs), so its distinct shingle set BROADCASTS — the
+    training side streams through a broadcast hash semi-join inside
+    its scan stage (no shuffle of the exploded shingles); the only
+    exchange is the per-doc hit-count aggregation over the tiny
+    matched subset, with map-side partial counts. Never a shuffle of
+    the full training corpus' shingles.
+    """
+    ev = (
+        eval_docs.select(
+            F.explode(ngram_shingles_col(F.col("text"), n)).alias("sh")
+        ).distinct()
+    )
+    tr = docs.select(
+        "doc_id", F.explode(ngram_shingles_col(F.col("text"), n)).alias("sh")
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-bit majority over token hashes.
 

@@ -477,3 +477,48 @@ def test_bucketize_empty_delta_honors_geometry_change(spark, tmp_path):
     assert gens[0]["buckets"] == 4
     assert spark.table(n2).count() == 500
     store.destroy()
+
+
+def test_p_change_with_existing_bucketized_base(spark, tmp_path):
+    """The at-scale P-change shape: a bucketized generation ALREADY
+    exists at the old P when the resume arrives with a new
+    seen_partitions — the forced bucketize must merge the chain to
+    the NEW geometry (not append an incompatible generation), the
+    sketch set rebuilds at the new P, and outputs stay
+    oracle-identical."""
+    from web_archive_downloader_spark.operators.seen import sketch_stats
+
+    raw = gen_cdx_records(n_urls=40, seed=29)
+    cfg8 = default_config(
+        epoch_seconds=20.0, max_retries=2, seen_partitions=8,
+        bucketize_seen_every_epochs=2,
+    )
+    oracle = run_oracle(raw, cfg8)
+
+    store = StateStore(str(tmp_path / "pb"), spark)
+    CrawlPlan(spark, store, cfg8).run(cdx_dataframe(spark, raw), max_epochs=3)
+    gens = store._bucketed_gens(store.read_manifest(), "url_seen")
+    assert gens and gens[0]["buckets"] == 8  # base exists at old P
+    assert store.last_epoch == 2
+
+    cfg4 = default_config(
+        epoch_seconds=20.0, max_retries=2, seen_partitions=4,
+        bucketize_seen_every_epochs=2,
+    )
+    plan2 = CrawlPlan(spark, store, cfg4)
+    plan2.run(cdx_dataframe(spark, raw), max_epochs=4, resume=True)
+    assert plan2.last_bloom_mode == "exact"  # detection epoch
+    gens = store._bucketed_gens(store.read_manifest(), "url_seen")
+    # geometry-mismatch merge: ONE generation at the new bucket count
+    assert [g["buckets"] for g in gens] == [4]
+    st = sketch_stats(store.read("bloom", plan2._bloom_schema()), 4)
+    assert st["n"] > 0 and st["bad"] == 0
+
+    plan2.run(cdx_dataframe(spark, raw), resume=True)
+    assert plan2.last_bloom_mode in ("broadcast", "cogroup")
+    order = [
+        r.url
+        for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
+    ]
+    assert order == oracle.crawl_order
+    store.destroy()

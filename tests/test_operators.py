@@ -368,3 +368,55 @@ def test_pack_sequences_partitioning_invariant(spark):
     a = pack_sequences(spark.createDataFrame(pdf).repartition(1), 128, n_shards=4)
     b = pack_sequences(spark.createDataFrame(pdf).repartition(13), 128, n_shards=4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sequences_contiguous_matches_duckdb_window(spark):
+    """The zero-UDF contiguous-fill packer equals a DuckDB window
+    oracle on the same rows (exclusive running sum -> floor-div pack,
+    spill at boundaries), and its plan is one exchange with no Python
+    nodes."""
+    import io
+    from contextlib import redirect_stdout
+
+    import duckdb
+
+    from web_archive_downloader_spark.operators.packing import (
+        pack_sequences_contiguous,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(100)), "n_tokens": [(11 * i) % 97 + 1 for i in range(100)]}
+    )
+    got = pack_sequences_contiguous(spark.createDataFrame(pdf), 128, n_shards=4)
+    oracle = duckdb.sql(
+        """
+        WITH s AS (
+          SELECT doc_id % 4 AS shard, doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY doc_id % 4 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+          FROM pdf
+        )
+        SELECT shard, token_offset // 128 AS pack_id, doc_id, n_tokens,
+               token_offset,
+               greatest(0, (token_offset % 128) + n_tokens - 128) AS spill_tokens
+        FROM s
+        """
+    ).fetchall()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, oracle))
+    # a doc fully inside a pack has spill 0; boundary docs spill
+    rows = got.collect()
+    assert any(r.spill_tokens > 0 for r in rows)
+    assert all(0 <= r.spill_tokens <= r.n_tokens for r in rows)
+    # plan: ONE exchange (the shard window), zero Python nodes
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue().split("== Initial Plan ==")[0]
+    tree = plan.split("\n\n")[0]
+    import re
+
+    assert len(re.findall(r"- Exchange", tree)) == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan

@@ -194,3 +194,47 @@ def test_politeness_budget_respected(crawl_result, spark):
     over = per_host_epoch.filter(F.col("n") > cfg.per_host_epoch_budget).count()
     assert over == 0
     assert stats.epochs >= 2  # budget actually forced multiple epochs
+
+
+def test_canonicalize_urls_collapses_variants_and_matches_oracle(spark, tmp_path):
+    """canonicalize_urls=True (engine extension, off for reference
+    parity): equivalent spellings of one resource — scheme/host case,
+    default ports, fragments, query order — collapse to ONE frontier
+    row / one fetch, the latest-per-URL dedup sees them as one url
+    (latest ts wins across spellings), and the crawl still matches
+    the oracle (which applies the same kernel) exactly."""
+    base = gen_cdx_records(n_urls=12, seed=47, include_header=False)
+    variants = [
+        # same resource, three spellings, ts strictly increasing: the
+        # canonical latest must be the :80-spelling's ts
+        ["http://vary.example.org/page?a=1&b=2", "20230101000000", "text/html"],
+        ["HTTP://Vary.Example.ORG/page?b=2&a=1#frag", "20230201000000", "text/html"],
+        ["http://vary.example.org:80/page?a=1&b=2", "20230301000000", "text/html"],
+    ]
+    raw = [["original", "timestamp", "mimetype"]] + base + variants
+    cfg = default_config(epoch_seconds=60.0, max_retries=2, canonicalize_urls=True)
+    oracle = run_oracle(raw, cfg)
+    canon = "http://vary.example.org/page?a=1&b=2"
+    assert oracle.crawl_order.count(canon) == 1
+    assert not any("Vary.Example" in u or ":80/" in u for u in oracle.crawl_order)
+
+    store = StateStore(str(tmp_path / "cn"), spark)
+    plan = CrawlPlan(spark, store, cfg)
+    plan.run(cdx_dataframe(spark, raw))
+    from web_archive_downloader_spark.plans.crawl import (
+        PROCESSED_SCHEMA,
+        URL_SEEN_SCHEMA,
+    )
+
+    order = [
+        r.url
+        for r in store.read("processed", PROCESSED_SCHEMA).orderBy("seq").collect()
+    ]
+    assert order == oracle.crawl_order
+    seen = [
+        r.url
+        for r in store.read("url_seen", URL_SEEN_SCHEMA).orderBy("seq").collect()
+    ]
+    assert seen == oracle.seen
+    assert order.count(canon) == 1
+    store.destroy()

@@ -131,6 +131,14 @@ class EngineConfig:
     # byte-equality runs; responsive-image corpora turn it on to
     # capture every resolution variant.
     include_srcset: bool = False
+    # Canonicalize frontier URLs (lowercase scheme/host, strip default
+    # ports, drop fragments, sort query params) BEFORE the seen-set /
+    # latest-per-URL dedup, so equivalent spellings collapse to one
+    # fetch and the frontier hash-partitions by canonical-URL hash.
+    # OFF by default: the reference's seen set keys raw strings
+    # (main.py:62-64) and byte-parity requires matching it. The oracle
+    # applies the same kernel when enabled.
+    canonicalize_urls: bool = False
     # CDX feed provenance (F2/F3 null semantics, sources/cdx.py):
     # True = feed was server-filtered upstream, null status/mimetype
     # rows pass; False = mixed feed, nulls drop (strict 200+text/html).

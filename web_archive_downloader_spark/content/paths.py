@@ -210,3 +210,46 @@ def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
 
 def xxhash64_str(s: str, seed: int = 42) -> int:
     return xxhash64_bytes(s.encode("utf-8"), seed)
+
+
+# --- opt-in crawl-frontier URL canonicalization -----------------------
+# The at-scale frontier partitions by canonical-URL hash so trivially
+# equivalent spellings of one resource (case in scheme/host, default
+# ports, fragments, query order) collapse to ONE seen-set row and one
+# fetch. OFF by default: the reference's seen set keys raw strings
+# (main.py:62-64) and byte-parity requires matching it. The Catalyst
+# twin is functions/scalar.py:canonical_url_col — the two must stay in
+# LOCKSTEP (same regex, same steps, same edge cases).
+
+import re as _re
+
+_URL_CANON_RE = _re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+)
+
+
+def canonical_url(url: str) -> str:
+    """Canonicalize one URL: lowercase scheme and authority, strip the
+    scheme's default port (:80 http / :443 https), empty path -> '/',
+    drop the fragment, drop a bare trailing '?', sort query segments
+    ('&'-split, binary order — matches Spark's array_sort). Inputs
+    without a scheme://authority shape pass through unchanged.
+    Percent-encoding and path dot-segments are left untouched
+    (resolving them can change server behavior); the whole authority
+    is lowercased (userinfo, which is case-sensitive per RFC 3986, is
+    vanishingly rare in crawl frontiers — documented trade)."""
+    m = _URL_CANON_RE.match(url or "")
+    if not m:
+        return url
+    scheme = m.group(1).lower()
+    auth = m.group(2).lower()
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    path = m.group(3) or "/"
+    query = m.group(4)
+    out = f"{scheme}://{auth}{path}"
+    if query:
+        out += "?" + "&".join(sorted(query.split("&")))
+    return out

@@ -176,3 +176,37 @@ def asset_base_ext_cols(asset_url: Column) -> tuple[Column, Column]:
 def asset_kind_rank_col(kind: Column) -> Column:
     """Stage order of asset processing (main.py:104-107): js, css, img."""
     return F.when(kind == "js", 0).when(kind == "css", 1).otherwise(2)
+
+
+# --- opt-in URL canonicalization (Catalyst twin of
+# content/paths.py:canonical_url — keep in LOCKSTEP) ------------------
+
+_URL_CANON_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Pure-codegen URL canonicalization: lowercase scheme+authority,
+    strip default ports, empty path -> '/', drop fragment and bare
+    '?', query segments '&'-split + array_sort (binary order ==
+    Python sorted for valid UTF-8). Non-matching inputs pass through.
+    No UDF: regexp_extract / array_sort / concat fold into
+    whole-stage codegen inside the frontier scan projection."""
+    scheme = F.lower(F.regexp_extract(url, _URL_CANON_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _URL_CANON_RE, 2))
+    path = F.regexp_extract(url, _URL_CANON_RE, 3)
+    query = F.regexp_extract(url, _URL_CANON_RE, 4)
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+    return F.when(scheme == "", url).otherwise(canon)

@@ -163,8 +163,22 @@ def run_oracle(
 
     res = OracleResult()
     fs = _FakeFS()
+    data = strip_header(cdx_data)
+    if config.canonicalize_urls:
+        # mirror the engine's opt-in canonicalization: rewrite each
+        # record's url through the SAME python kernel BEFORE the
+        # latest-per-URL dedup (checkpoint urls too)
+        from ..content.paths import canonical_url
+
+        data = [
+            ([canonical_url(r[0])] + list(r[1:]))
+            if isinstance(r, list) and r and isinstance(r[0], str)
+            else r
+            for r in data
+        ]
+        checkpoint = {canonical_url(u) for u in (checkpoint or set())}
     processed_urls = set(checkpoint or set())
-    latest = process_cdx_oracle(strip_header(cdx_data))
+    latest = process_cdx_oracle(data)
 
     for url, ts in latest.items():
         if url in processed_urls:

@@ -150,16 +150,28 @@ PROCESSED_SCHEMA = T.StructType(
 _MD_POS = (1 << 62)  # sorts after any asset position
 
 
-def seed_frontier_from_cdx(cdx: DataFrame, prefiltered_feed: bool = True) -> DataFrame:
+def seed_frontier_from_cdx(
+    cdx: DataFrame,
+    prefiltered_feed: bool = True,
+    canonicalize: bool = False,
+) -> DataFrame:
     """CDX table -> initial frontier: F2/F3 server-filter analog
     (statuscode:200 + mimetype:text/html, pushed into the scan), F4/F5
     validation, A1 latest-per-URL with first-appearance seq, host
     extraction, depth 0. ``prefiltered_feed`` sets the null semantics
-    (see sources/cdx.py:cdx_server_filter)."""
+    (see sources/cdx.py:cdx_server_filter). ``canonicalize`` rewrites
+    urls through canonical_url_col BEFORE the latest-per-URL dedup so
+    equivalent spellings collapse to one frontier row (pure codegen in
+    the scan projection; the frontier then hash-partitions by
+    canonical-URL hash everywhere downstream)."""
     from ..sources.cdx import cdx_server_filter
 
     if "status" in cdx.columns:
         cdx = cdx_server_filter(cdx, prefiltered_feed=prefiltered_feed)
+    if canonicalize:
+        from ..functions.scalar import canonical_url_col
+
+        cdx = cdx.withColumn("url", canonical_url_col(F.col("url")))
     latest = latest_snapshot_per_url(valid_cdx(cdx))
     return latest.select(
         "url",
@@ -713,6 +725,13 @@ class CrawlPlan:
         links = ok_pages.select("url", "ts", "seq", "depth", "html").mapInPandas(
             extract_links, link_schema
         )
+        if cfg.canonicalize_urls:
+            # discovered links collapse to canonical form BEFORE the
+            # per-url dedup below, matching the seed path — the whole
+            # frontier keys on canonical urls or none of it does
+            from ..functions.scalar import canonical_url_col
+
+            links = links.withColumn("url", canonical_url_col(F.col("url")))
         expanded = (
             links.filter(F.col("parent_depth") + 1 <= cfg.max_depth)
             .select(
@@ -759,6 +778,12 @@ class CrawlPlan:
         row in url_seen but in no sketch could be scheduled twice), so
         seen rows and their sketches are committed together."""
         cfg = self.config
+        if cfg.canonicalize_urls:
+            # checkpoint rows must key the same canonical form the
+            # frontier uses, or pre-seeded urls would not match
+            from ..functions.scalar import canonical_url_col
+
+            urls = urls.withColumn("url", canonical_url_col(F.col("url")))
         seen = urls.select(
             "url",
             F.coalesce(F.col("seq"), F.lit(-1)).alias("seq"),
@@ -907,7 +932,9 @@ class CrawlPlan:
         start_epoch = store.last_epoch + 1
         if not resume and start_epoch == 0:
             frontier0 = seed_frontier_from_cdx(
-                cdx, prefiltered_feed=self.config.prefiltered_feed
+                cdx,
+                prefiltered_feed=self.config.prefiltered_feed,
+                canonicalize=self.config.canonicalize_urls,
             )
             path = store.stage("frontier", -1, frontier0)
             # seed commit occupies epoch -1 semantics: write manifest at epoch -1

@@ -72,9 +72,14 @@ def _sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app, sf_dir)
     ent = _SIG_CACHE.get(key)
     if ent is None:
-        ent = minhash_signatures(_t(spark, sf_dir, "documents"), k=16).localCheckpoint(
-            eager=True
-        )
+        # materialized with REAL stats (persist + count) rather than
+        # localCheckpoint: a LogicalRDD's unknown sizeInBytes poisons
+        # every downstream join-size estimate in the dedup family,
+        # forcing sort-merge joins on relations that broadcast at their
+        # true size (see partitioning.materialize_with_stats)
+        from web_archive_downloader_spark.partitioning import materialize_with_stats
+
+        ent = materialize_with_stats(minhash_signatures(_t(spark, sf_dir, "documents"), k=16))
         _SIG_CACHE[key] = ent
     return ent
 
@@ -501,7 +506,10 @@ def _q_cube_revenue(spark, sf):
 
 
 def _q_ann_bruteforce(spark, sf):
-    return brute_force_topk(_t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+    # dim=64 is the checked contract (the DuckDB twin folds exactly 64
+    # components); passing it unrolls the cosine into codegen-able
+    # arithmetic with identical left-to-right association
+    return brute_force_topk(_t(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10, dim=64)
 
 
 def _q_ann_lsh_topk(spark, sf):
@@ -609,7 +617,12 @@ def _q_phash_pairs(spark, sf):
 
 
 def _q_text_stats(spark, sf):
-    return document_stats(_t(spark, sf, "documents"))
+    from web_archive_downloader_spark.partitioning import widen_narrow_scan
+
+    # per-row projection: results are partitioning-independent, so the
+    # narrow single-row-group scan is widened before the expensive
+    # per-char/regex feature expressions (guide §2.2/§6)
+    return document_stats(widen_narrow_scan(_t(spark, sf, "documents")))
 
 
 def _q_token_counts(spark, sf):
@@ -621,8 +634,9 @@ def _q_token_counts(spark, sf):
         bpe_ish_token_count_col,
         token_count_col,
     )
+    from web_archive_downloader_spark.partitioning import widen_narrow_scan
 
-    d = _t(spark, sf, "documents")
+    d = widen_narrow_scan(_t(spark, sf, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",

@@ -21,9 +21,26 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..partitioning import widen_narrow_scan
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns, JVM-side."""
+
+def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side.
+
+    With ``dim`` given, the three folds are UNROLLED into plain binary
+    arithmetic ( ((0.0 + a0*b0) + a1*b1) + ... ) — bit-identical to the
+    higher-order aggregate's left-to-right accumulation, but whole-
+    stage-codegen-able; Catalyst higher-order lambdas are interpreted
+    per element, which dominated the candidate-scoring stages
+    (OPTIMIZATION_r06.md). ``dim=None`` keeps the fold form for
+    arbitrary-width arrays."""
+    if dim is not None:
+        dot, na2, nb2 = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+        for j in range(dim):
+            dot = dot + a[j] * b[j]
+            na2 = na2 + a[j] * a[j]
+            nb2 = nb2 + b[j] * b[j]
+        return dot / (F.sqrt(na2) * F.sqrt(nb2))
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -71,7 +88,10 @@ def local_topk_reduce(scored: DataFrame, k: int) -> DataFrame:
 
 
 def brute_force_topk(
-    embeddings: DataFrame, query_ids: list[str] | list[int], k: int = 10
+    embeddings: DataFrame,
+    query_ids: list[str] | list[int],
+    k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id. Output:
     (query_id, rank, neighbor_id, cos). Excludes self-matches.
@@ -81,7 +101,9 @@ def brute_force_topk(
     top-k first (local_topk_reduce), then a per-query window over the
     <= k * n_partitions survivors. Without the pre-reduction the final
     window funnels the entire scored corpus into n_queries tasks."""
-    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = widen_narrow_scan(embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
     q = e.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -90,7 +112,7 @@ def brute_force_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cos"),
+            F.round(cosine_expr(F.col("qv"), F.col("v"), dim=dim), 4).alias("cos"),
         )
     )
     reduced = local_topk_reduce(scored, k)
@@ -104,15 +126,15 @@ def brute_force_topk(
 
 def _sqdist_expr(v: Column, center: list) -> Column:
     """Squared euclidean distance of an array<double> column to a
-    literal centroid — the zip_with/fold runs strictly left-to-right,
-    matching the DuckDB twin's list_transform/list_reduce order
-    bit-for-bit (same technique as the neardup hyperplane dots)."""
-    lit_c = F.array(*[F.lit(float(x)) for x in center])
-    return F.aggregate(
-        F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
+    literal centroid, unrolled to codegen-able binary arithmetic —
+    ((0.0 + (v0-c0)^2) + (v1-c1)^2) + ... runs strictly left-to-right,
+    matching both the former zip_with/fold and the DuckDB twin's
+    list_transform/list_reduce order bit-for-bit."""
+    acc = F.lit(0.0)
+    for j, x in enumerate(center):
+        d = v[j] - F.lit(float(x))
+        acc = acc + d * d
+    return acc
 
 
 def ivf_topk(
@@ -142,7 +164,7 @@ def ivf_topk(
     a single projection pass, so the probe is an equi-join on cluster
     id — the classic IVF list-scan, shuffle-free on the corpus side.
     Same output schema as brute_force_topk."""
-    e = embeddings.select(
+    e = widen_narrow_scan(embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     if centroids is None:
@@ -193,7 +215,10 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cos"),
+        F.round(
+            cosine_expr(F.col("qv"), F.col("v"), dim=len(centers[0]) if centers else None),
+            4,
+        ).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     # candidate sets are list-bounded, but still pre-reduce so the
     # final per-query window never funnels a hot probe list through
@@ -214,14 +239,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def sign_bucket_col(v: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: sign bits of dot products with fixed random
-    hyperplanes, packed into an int. Pure expressions — the planes are
-    literal arrays folded by Catalyst."""
+    hyperplanes, packed into an int. Pure expressions; each dot is
+    unrolled to codegen-able binary arithmetic with the identical
+    left-to-right association the former zip_with/fold used, so bucket
+    signs (and the DuckDB twin's) are unchanged bit-for-bit."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
-        )
+        dot = F.lit(0.0)
+        for j, w in enumerate(plane):
+            dot = dot + v[j] * F.lit(float(w))
         bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
@@ -247,7 +273,7 @@ def lsh_bucketed_topk(
     expressions), candidates form via an equi-join on (table, bucket)
     with the small query side broadcast — the corpus is never
     shuffled. Same output schema as brute_force_topk."""
-    e = embeddings.select(
+    e = widen_narrow_scan(embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     buckets = []
@@ -275,7 +301,7 @@ def lsh_bucketed_topk(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_expr(F.col("qv"), F.col("v")), 4).alias("cos"),
+        F.round(cosine_expr(F.col("qv"), F.col("v"), dim=dim), 4).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     # bucket-bounded candidates, but a hot bucket union can still be
     # large — pre-reduce before the per-query window (see

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textstats import md5_hash28_col, md5_hash56_col, tokens_col
+from ..partitioning import materialize_with_stats, widen_narrow_scan
 
 # Permutation modulus: 2^31-1 (Mersenne prime). Chosen so that with
 # 28-bit token hashes (a*h + b) BOTH (a) wraps the modulus many times
@@ -71,7 +72,8 @@ def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
     (doc_id, sig: array<long> length k).
     """
     tok = (
-        docs.select("doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"))
+        widen_narrow_scan(docs)
+        .select("doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"))
         .withColumn("h", md5_hash28_col(F.col("tok")))  # 28-bit: overflow-free perms
     )
     aggs = [
@@ -124,7 +126,7 @@ def minhash_lsh_candidates(
     # A caller-provided ``sig`` (already materialized, shared across
     # the dedup family) skips both the recompute and the checkpoint.
     if sig is None:
-        sig = minhash_signatures(docs, k).localCheckpoint(eager=True)
+        sig = materialize_with_stats(minhash_signatures(docs, k))
     keyed = sig.withColumn(
         "sig_key", F.concat_ws(",", F.col("sig").cast("array<string>"))
     )
@@ -193,19 +195,24 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
-def ngram_shingles_col(text, n: int = 2):
-    """Word n-gram shingles as an array column (n=2 bigrams).
+def ngram_shingles_from_tokens(toks, n: int = 2):
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column. Callers must bind ``toks`` to a projected attribute (not an
+    inline tokenize expression): higher-order lambdas are interpreted,
+    so every reference to a non-attribute child is RE-EVALUATED per
+    element — an inline split() child turns O(tokens) shingling into
+    O(tokens^2) re-tokenization (measured 10x+ on the decontamination
+    path; see OPTIMIZATION_r06.md). With an attribute child each
+    slice() is an O(n) array copy.
+
+    concat_ws over the slice() subarray emits the identical string the
+    former per-position element_at concat built (concat_ws flattens
+    array arguments and skips nulls the same way).
     Guarded: Spark's sequence(1, 0) DESCENDS, so short docs must map
     to an explicit empty array."""
-    toks = tokens_col(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     shingles = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-            ),
-        )
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
     from pyspark.sql import types as T
 
@@ -214,9 +221,18 @@ def ngram_shingles_col(text, n: int = 2):
     )
 
 
+def ngram_shingles_col(text, n: int = 2):
+    """Word n-gram shingles direct from a text expression. Prefer the
+    two-step ``select(tokens_col(...))`` + ``ngram_shingles_from_tokens``
+    form on hot paths (see that docstring for why)."""
+    return ngram_shingles_from_tokens(tokens_col(text), n)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, n: int = 2) -> DataFrame:
     """n-gram Jaccard over candidate pairs (blocked upstream)."""
-    sh = docs.select("doc_id", ngram_shingles_col(F.col("text"), n).alias("sh"))
+    sh = docs.select("doc_id", tokens_col(F.col("text")).alias("_toks")).select(
+        "doc_id", ngram_shingles_from_tokens(F.col("_toks"), n).alias("sh")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -250,21 +266,42 @@ def similarity_pairs(
     three: each doc's row carries (token set, n-gram shingle set,
     minhash signature) together, so at 100 TB the candidate relation is
     joined twice (a-side, b-side) total rather than six times, and the
-    doc-feature relation is scanned once. The three measures fold
-    JVM-side (array_intersect/union + zip_with/aggregate).
+    doc-feature relation is BUILT once (tokenize + shingle + sig join,
+    then localCheckpoint) and joined to both candidate sides from that
+    materialization — without it the whole feature subtree is
+    re-evaluated per join side (r05 verdict item). The three measures
+    fold JVM-side (array_intersect/union + zip_with/aggregate).
+
+    Precondition (documented, ADVICE r05): ``candidates`` pairs must
+    reference docs present in ``sig`` (true for LSH-derived candidate
+    sets, which are built FROM sig) — a pair whose doc lacks a
+    signature row drops out of all three measures via the inner join.
     """
-    feats = docs.select(
-        "doc_id",
-        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
-        ngram_shingles_col(F.col("text"), n).alias("sh"),
-    ).join(sig.select("doc_id", "sig"), "doc_id")
+    feats = (
+        widen_narrow_scan(docs)
+        .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.col("_toks")).alias("toks"),
+            ngram_shingles_from_tokens(F.col("_toks"), n).alias("sh"),
+        )
+        .join(sig.select("doc_id", "sig"), "doc_id")
+    )
+    # materialized WITH stats: the planner then broadcasts the feature
+    # relation into the candidate stream when it fits (the bench-scale
+    # case) and falls back to a shuffled join when it doesn't (the
+    # 100 TB case) — size-driven, not hinted
+    feats = materialize_with_stats(feats)
     a = feats.alias("a")
     b = feats.alias("b")
-    agree = F.aggregate(
-        F.zip_with("a.sig", "b.sig", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    # k is small and fixed: unroll the signature-agreement fold into k
+    # codegen-able integer terms (exact integer addition — any
+    # association yields the identical count)
+    agree = F.lit(0)
+    for i in range(k):
+        agree = agree + F.when(
+            F.col("a.sig")[i] == F.col("b.sig")[i], 1
+        ).otherwise(0)
 
     def _jac(left, right):
         return F.round(
@@ -303,13 +340,21 @@ def ngram_decontaminate(
     matched subset, with map-side partial counts. Never a shuffle of
     the full training corpus' shingles.
     """
+    # two-step tokenize -> shingle: the token array is materialized as
+    # a projected attribute so the interpreted shingle lambda never
+    # re-tokenizes the text per element (see ngram_shingles_from_tokens)
     ev = (
-        eval_docs.select(
-            F.explode(ngram_shingles_col(F.col("text"), n)).alias("sh")
-        ).distinct()
+        eval_docs.select(tokens_col(F.col("text")).alias("_toks"))
+        .select(F.explode(ngram_shingles_from_tokens(F.col("_toks"), n)).alias("sh"))
+        .distinct()
     )
-    tr = docs.select(
-        "doc_id", F.explode(ngram_shingles_col(F.col("text"), n)).alias("sh")
+    tr = (
+        widen_narrow_scan(docs)
+        .select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(ngram_shingles_from_tokens(F.col("_toks"), n)).alias("sh"),
+        )
     )
     return (
         tr.join(F.broadcast(ev), "sh")
@@ -325,7 +370,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     as +/-1 weights in a single agg with ``bits`` columns (map-side
     partial sums), then recombined into an integer. Output:
     (doc_id, simhash:long)."""
-    tok = docs.select(
+    tok = widen_narrow_scan(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
     ).withColumn("h", md5_hash56_col(F.col("tok")))
     aggs = [
@@ -438,7 +483,7 @@ def neardup_edges(
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     if sig is None:
-        sig = minhash_signatures(docs, k).localCheckpoint(eager=True)
+        sig = materialize_with_stats(minhash_signatures(docs, k))
     keyed_sig = sig.select(
         "doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_key")
     )
@@ -590,7 +635,9 @@ def embedding_neardup_lsh(
 
     if n_planes is None:
         n_planes = neardup_planes_for(embeddings.count(), target_bucket_rows)
-    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = widen_narrow_scan(embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
     tables = neardup_hyperplanes(dim, n_tables, n_planes)
     buckets = [
         F.struct(F.lit(t).alias("tbl"), sign_bucket_col(F.col("v"), planes).alias("b"))
@@ -599,10 +646,9 @@ def embedding_neardup_lsh(
     # materialize bucket ids once: the self-join would otherwise
     # evaluate all n_tables * n_planes dot-product expressions twice
     # (once per side); the bucket table is (vec_id, tbl, b) — tiny
-    eb = (
+    eb = materialize_with_stats(
         e.select("vec_id", F.explode(F.array(*buckets)).alias("tb"))
         .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.b").alias("b"))
-        .localCheckpoint(eager=True)
     )
     l, r = eb.alias("l"), eb.alias("r")
     cands = (
@@ -622,7 +668,7 @@ def embedding_neardup_lsh(
         .join(vb, "vec_b")
         .select(
             "vec_a", "vec_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.round(cosine_expr(F.col("va"), F.col("vb"), dim=dim), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

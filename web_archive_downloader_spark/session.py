@@ -50,6 +50,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1/§9): the heavy candidate-
+        # pair streams then probe small per-partition hash tables
+        # instead of paying a full sort of the streamed side. AQE can
+        # additionally rewrite SMJ->SHJ at runtime when every post-
+        # shuffle partition is under the local-map threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", str(64 * 1024 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -24,29 +24,34 @@ from pyspark.sql import functions as F
 from ..partitioning import widen_narrow_scan
 
 
-def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity of two array<double> columns, JVM-side.
+def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right dot-product fold ((0.0 + a0*b0) + a1*b1)... as a
+    higher-order zip_with/aggregate.
 
-    With ``dim`` given, the three folds are UNROLLED into plain binary
-    arithmetic ( ((0.0 + a0*b0) + a1*b1) + ... ) — bit-identical to the
-    higher-order aggregate's left-to-right accumulation, but whole-
-    stage-codegen-able; Catalyst higher-order lambdas are interpreted
-    per element, which dominated the candidate-scoring stages
-    (OPTIMIZATION_r06.md). ``dim=None`` keeps the fold form for
-    arbitrary-width arrays."""
-    if dim is not None:
-        dot, na2, nb2 = F.lit(0.0), F.lit(0.0), F.lit(0.0)
-        for j in range(dim):
-            dot = dot + a[j] * b[j]
-            na2 = na2 + a[j] * a[j]
-            nb2 = nb2 + b[j] * b[j]
-        return dot / (F.sqrt(na2) * F.sqrt(nb2))
-    dot = F.aggregate(
+    NOTE (r06, negative result kept for the record): unrolling this
+    into dim explicit Add/Multiply/GetArrayItem terms to reach whole-
+    stage codegen FAILS at dim=64 — the per-term null-safe codegen
+    (~35 lines each) pushes processNext() past the JVM's 64 KB method
+    limit, janino compilation fails, and the WHOLE stage silently falls
+    back to interpreted execution, which is SLOWER than this fold
+    (measured 40s -> 153s on embedding_neardup_lsh at sf1.0). The fold
+    form keeps the rest of the stage compiled. ``dim`` is accepted for
+    call-site documentation but does not change the plan."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+
+
+def norm_expr(a: Column, dim: int | None = None) -> Column:
+    """L2 norm sqrt(fold(0.0, acc + v*v)) — the exact fold the former
+    inline cosine used, so precomputed norms are bit-identical."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side
+    (see dot_expr for why this stays a higher-order fold)."""
+    return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
 def local_topk_reduce(scored: DataFrame, k: int) -> DataFrame:
@@ -126,15 +131,15 @@ def brute_force_topk(
 
 def _sqdist_expr(v: Column, center: list) -> Column:
     """Squared euclidean distance of an array<double> column to a
-    literal centroid, unrolled to codegen-able binary arithmetic —
-    ((0.0 + (v0-c0)^2) + (v1-c1)^2) + ... runs strictly left-to-right,
-    matching both the former zip_with/fold and the DuckDB twin's
-    list_transform/list_reduce order bit-for-bit."""
-    acc = F.lit(0.0)
-    for j, x in enumerate(center):
-        d = v[j] - F.lit(float(x))
-        acc = acc + d * d
-    return acc
+    literal centroid — the zip_with/fold runs strictly left-to-right,
+    matching the DuckDB twin's list_transform/list_reduce order
+    bit-for-bit (unrolling rejected: see dot_expr)."""
+    lit_c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
 
 
 def ivf_topk(
@@ -239,15 +244,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def sign_bucket_col(v: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: sign bits of dot products with fixed random
-    hyperplanes, packed into an int. Pure expressions; each dot is
-    unrolled to codegen-able binary arithmetic with the identical
-    left-to-right association the former zip_with/fold used, so bucket
-    signs (and the DuckDB twin's) are unchanged bit-for-bit."""
+    hyperplanes, packed into an int. Pure expressions — the planes are
+    literal arrays folded by Catalyst (unrolling rejected: see
+    dot_expr)."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        dot = F.lit(0.0)
-        for j, w in enumerate(plane):
-            dot = dot + v[j] * F.lit(float(w))
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+        )
         bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 

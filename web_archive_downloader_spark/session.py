@@ -49,7 +49,18 @@ def get_spark(
         # Arrow streams are in flight).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 192 MB: the dedup family's materialized doc-feature relation
+        # (~87 MB at sf1.0) then broadcasts into the candidate-pair
+        # stream instead of shuffling 20M pair rows through two hash
+        # joins (similarity_pairs 34s -> 20s). Guide §3.1: a few
+        # hundred MB of broadcast is fine; the build side is always the
+        # planner's size-based choice, so corpus-scale relations never
+        # broadcast regardless of this knob. Parameterised for cluster
+        # tuning (smaller executors -> lower it).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AUTOBROADCAST", str(192 * 1024 * 1024)),
+        )
         # Let the planner pick shuffled-hash over sort-merge when its
         # size conditions hold (guide §3.1/§9): the heavy candidate-
         # pair streams then probe small per-partition hash tables

@@ -377,10 +377,14 @@ def _q_corpus_selection(spark, sf):
     SQL the same way. Output: the keep-list with its audit columns."""
     from web_archive_downloader_spark.operators.dedup import dedup_components
 
+    from web_archive_downloader_spark.partitioning import widen_narrow_scan
+
     d = _t(spark, sf, "documents")
     comp = dedup_components(d, jaccard_threshold=0.4, sig=_sig16(spark, sf))
     csize = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    stats = document_stats(d).select("doc_id", "quality", "n_tokens", "lang_pred")
+    stats = document_stats(widen_narrow_scan(d)).select(
+        "doc_id", "quality", "n_tokens", "lang_pred"
+    )
     return (
         comp.join(csize, "component")
         .join(stats, "doc_id")

@@ -174,12 +174,21 @@ def minhash_lsh_candidates(
 def jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs:
     (doc_a, doc_b, jaccard). Distinct-token semantics (both Spark
-    array_intersect/distinct and DuckDB list_* dedup)."""
-    toks = docs.select(
-        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("toks")
+    array_intersect/distinct and DuckDB list_* dedup).
+
+    Same shape choices as similarity_pairs: the per-doc token-set
+    relation is materialized once WITH stats (so it broadcasts into
+    the candidate stream at its true size instead of forcing shuffled
+    joins), and |A∪B| is derived as |A|+|B|-|A∩B| — exact for the
+    distinct arrays — halving the per-pair set work."""
+    toks = materialize_with_stats(
+        widen_narrow_scan(docs).select(
+            "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("toks")
+        ).select("doc_id", "toks", F.size("toks").alias("n_toks"))
     )
     a = toks.alias("a")
     b = toks.alias("b")
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
     return (
         candidates.join(a, candidates.doc_a == F.col("a.doc_id"))
         .join(b, candidates.doc_b == F.col("b.doc_id"))
@@ -187,8 +196,7 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
-                / F.size(F.array_union("a.toks", "b.toks")),
+                inter.cast("double") / (F.col("a.n_toks") + F.col("b.n_toks") - inter),
                 6,
             ).alias("jaccard"),
         )
@@ -405,7 +413,11 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> 
     chunks of bits/4."""
     chunks = 4
     width = bits // chunks
-    sh = simhash(docs, bits)
+    # materialized: the chunk-blocked self-join would otherwise
+    # re-run the whole token-explode + 32-column simhash aggregation
+    # once per side, and the unknown-size subtree would force a
+    # sort-merge self-join (same pattern as the LSH family)
+    sh = materialize_with_stats(simhash(docs, bits))
     keyed = sh.select(
         "doc_id",
         "simhash",
@@ -438,8 +450,12 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> 
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct (identical result set — filtering
+        # commutes with duplicate elimination): the distinct's exchange
+        # then carries only the few surviving near-dup pairs instead of
+        # every chunk-collision pair (tens of millions at sf1.0)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs
 
@@ -525,19 +541,26 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
 
     nodes: (node), edges: (doc_a, doc_b). Returns (node, component)
     where component = min node id in the component."""
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(True)
+    # per-round materialization carries REAL stats (persist + count,
+    # not localCheckpoint): the label relation is (node, label) longs,
+    # so each round's join then broadcasts it instead of sort-merging
+    # against an unknown-size LogicalRDD
+    sym = materialize_with_stats(
+        edges.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    labels = materialize_with_stats(nodes.select("node", F.col("node").alias("label")))
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        new_labels = materialize_with_stats(
             msgs.unionByName(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(True)
         )
         changed = (
             new_labels.alias("n")
@@ -545,9 +568,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -106,8 +106,13 @@ def phash_near_dups(
     metadata column — the payload bytes are never scanned."""
     if max_hamming >= chunks:  # not an assert: must survive python -O
         raise ValueError("pigeonhole guarantee needs max_hamming <= chunks-1")
+    from ..partitioning import materialize_with_stats
+
     width = 64 // chunks
-    keyed = images.select(
+    # materialized (tiny: id + phash + chunk key per row) so the
+    # self-join below sees real stats and the upstream phash
+    # derivation runs once, not once per join side
+    keyed = materialize_with_stats(images.select(
         "image_id",
         "phash",
         F.explode(
@@ -123,7 +128,7 @@ def phash_near_dups(
                 ]
             )
         ).alias("ck"),
-    ).select("image_id", "phash", "ck.chunk", "ck.key")
+    ).select("image_id", "phash", "ck.chunk", "ck.key"))
     l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(

@@ -457,7 +457,14 @@ class CrawlPlan:
             )
 
         # --- memento fallback ---
-        mem = memento_stage(dead_wayback.select("url", "ts", "seq", "attempt"), cfg)
+        # cached: mem feeds BOTH mem_extracted (cached separately) and
+        # mem_dead — without the cache the memento fetch stage re-runs
+        # inside the packed state write, on the narrowest partitions of
+        # the epoch (measured as the dominant slice of the per-epoch
+        # __state__ write cost)
+        mem = memento_stage(
+            dead_wayback.select("url", "ts", "seq", "attempt"), cfg
+        ).cache()
         mem_ok_raw = mem.filter(F.col("memento_result") == "ok")
         mem_extracted = extract_stage(
             mem_ok_raw.select(
@@ -605,22 +612,33 @@ class CrawlPlan:
             jobs["images"] = images_new.repartition(state_par)
         if html_new is not None:
             jobs["html_raw"] = html_new.repartition(state_par)
+        def _timed_stage(fn, *args):
+            s = _t()
+            out = fn(*args)
+            return out, _t() - s
+
+        _job_times: dict[str, float] = {}
         with ThreadPoolExecutor(max_workers=len(jobs) + 1) as pool:
             futures = {
-                t: pool.submit(store.stage, t, epoch, df) for t, df in jobs.items()
+                t: pool.submit(_timed_stage, store.stage, t, epoch, df)
+                for t, df in jobs.items()
             }
             futures["__state__"] = pool.submit(
-                store.stage_packed, epoch, state_members, state_par
+                _timed_stage, store.stage_packed, epoch, state_members, state_par
             )
             for t, fut in futures.items():
-                staged[t] = fut.result()
+                staged[t], _job_times[t] = fut.result()
+        if trace:
+            _marks.append(
+                ("sibling[" + " ".join(f"{k}={v:.2f}" for k, v in _job_times.items()) + "]", 0.0)
+            )
         t0 = mark("sibling_writes", t0)
         store.commit(epoch, staged)
         # seen_new rows <= n_sched; the analytic bound only needs an
         # upper bound on this epoch's new-seen row count
         self._advance_bloom_stats(n_sched)
         n_pending = int(obs_frontier.get["n"])
-        for df in (sched, unseen, fetched, routed, extracted, mem_extracted, assets):
+        for df in (sched, unseen, fetched, routed, extracted, mem, mem_extracted, assets):
             df.unpersist()
         mark("commit", t0)
         if trace:

@@ -149,7 +149,12 @@ class StateStore:
         for p in parts[1:]:
             packed = packed.unionByName(p)
         if coalesce_to:
-            packed = packed.coalesce(coalesce_to)
+            # repartition, NOT coalesce: coalesce propagates its
+            # narrowness up every shuffle-free member plan, so the
+            # bloom/processed/lineage member COMPUTE would run on
+            # coalesce_to tasks; the exchange of these tiny state rows
+            # is cheaper than serializing the members' upstream stages
+            packed = packed.repartition(coalesce_to)
         return self.stage(PACKED, epoch, packed)
 
     def _packed_member(self, table: str, manifest: dict) -> DataFrame | None:

@@ -126,15 +126,19 @@ def minhash_lsh_candidates(
     # A caller-provided ``sig`` (already materialized, shared across
     # the dedup family) skips both the recompute and the checkpoint.
     if sig is None:
-        sig = materialize_with_stats(minhash_signatures(docs, k))
+        sig = materialize_with_stats(minhash_signatures(docs, k), scope="lsh_sig")
     keyed = sig.withColumn(
         "sig_key", F.concat_ws(",", F.col("sig").cast("array<string>"))
     )
-    # one representative per distinct signature; sig is identical
-    # within a sig_key group, so first() is value-deterministic — this
-    # replaces the previous agg + self-join + filter with a single agg
-    rep_sigs = keyed.groupBy("sig_key").agg(
-        F.min("doc_id").alias("doc_id"), F.first("sig").alias("sig")
+    # one representative per distinct signature. Carrying the sig array
+    # through the aggregation (first(sig)) forces SortAggregate (array
+    # buffers are not hash-agg-able); aggregating ONLY min(doc_id)
+    # keeps it a HashAggregate and the representative's sig is fetched
+    # back with a semi-join on doc_id (doc_ids are unique, and sig is
+    # identical within a sig_key group — same rows either way)
+    rep_ids = keyed.groupBy("sig_key").agg(F.min("doc_id").alias("doc_id"))
+    rep_sigs = sig.join(
+        rep_ids.select("doc_id"), "doc_id", "left_semi"
     ).select("doc_id", "sig")
     banded = rep_sigs.select(
         "doc_id",
@@ -156,6 +160,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    # materialized with stats: the self-join otherwise evaluates the
+    # whole rep-selection + banding subtree once per side, and the
+    # (tiny) banded relation then broadcasts
+    banded = materialize_with_stats(banded, scope="lsh_banded")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -184,7 +192,8 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     toks = materialize_with_stats(
         widen_narrow_scan(docs).select(
             "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("toks")
-        ).select("doc_id", "toks", F.size("toks").alias("n_toks"))
+        ).select("doc_id", "toks", F.size("toks").alias("n_toks")),
+        scope="jaccard_toks",
     )
     a = toks.alias("a")
     b = toks.alias("b")
@@ -308,7 +317,7 @@ def similarity_pairs(
     # relation into the candidate stream when it fits (the bench-scale
     # case) and falls back to a shuffled join when it doesn't (the
     # 100 TB case) — size-driven, not hinted
-    feats = materialize_with_stats(feats)
+    feats = materialize_with_stats(feats, scope="sim_feats")
     a = feats.alias("a")
     b = feats.alias("b")
     agree = F.aggregate(
@@ -417,7 +426,7 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> 
     # re-run the whole token-explode + 32-column simhash aggregation
     # once per side, and the unknown-size subtree would force a
     # sort-merge self-join (same pattern as the LSH family)
-    sh = materialize_with_stats(simhash(docs, bits))
+    sh = materialize_with_stats(simhash(docs, bits), scope="simhash_sh")
     keyed = sh.select(
         "doc_id",
         "simhash",
@@ -509,7 +518,7 @@ def neardup_edges(
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     if sig is None:
-        sig = materialize_with_stats(minhash_signatures(docs, k))
+        sig = materialize_with_stats(minhash_signatures(docs, k), scope="edges_sig")
     keyed_sig = sig.select(
         "doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_key")
     )
@@ -546,13 +555,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
     # so each round's join then broadcasts it instead of sort-merging
     # against an unknown-size LogicalRDD
     sym = materialize_with_stats(
-        edges.select(
+        scope="cc_sym",
+        df=edges.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).unionByName(
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
     )
-    labels = materialize_with_stats(nodes.select("node", F.col("node").alias("label")))
+    labels = materialize_with_stats(
+        nodes.select("node", F.col("node").alias("label")), scope="cc_labels"
+    )
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -560,7 +572,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 50)
         new_labels = materialize_with_stats(
             msgs.unionByName(labels.select("node", "label"))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label")),
+            scope="cc_labels",
         )
         changed = (
             new_labels.alias("n")

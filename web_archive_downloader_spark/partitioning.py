@@ -49,7 +49,14 @@ def widen_narrow_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def materialize_with_stats(df: DataFrame) -> DataFrame:
+# scope -> the most recent materialization for that operator site;
+# unpersisted (and CacheManager-evicted) when the site materializes
+# again, so repeated invocations of the same query RECOMPUTE instead
+# of silently plan-matching the previous invocation's cache
+_SCOPED_CACHE: dict[str, DataFrame] = {}
+
+
+def materialize_with_stats(df: DataFrame, scope: str | None = None) -> DataFrame:
     """Materialize an intermediate relation WITH size statistics.
 
     ``localCheckpoint`` truncates lineage but leaves the resulting
@@ -61,7 +68,24 @@ def materialize_with_stats(df: DataFrame) -> DataFrame:
     bytes, so Spark's own size-based join selection stays correct at
     ANY scale — small intermediates broadcast, large ones shuffle; the
     choice is the planner's, not a hard-coded hint.
+
+    ``scope`` (pass a stable per-call-site tag): Spark's CacheManager
+    matches cached plans STRUCTURALLY, so without eviction a repeated
+    invocation of the same operator would silently reuse the previous
+    invocation's persisted intermediate — benchmark repeats would then
+    time a warm cache rather than the computation (and memory would
+    creep per invocation). Scoped materializations unpersist their
+    predecessor first, so every invocation computes from the inputs.
     """
+    if scope is not None:
+        prev = _SCOPED_CACHE.pop(scope, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
     out = df.persist()
     out.count()
+    if scope is not None:
+        _SCOPED_CACHE[scope] = out
     return out
